@@ -1,0 +1,51 @@
+"""sqlrs_tpu — a TPU-native vectorized OLAP SQL query engine.
+
+A from-scratch reimplementation of the capabilities of Fedomn/sqlrs (a
+DuckDB-modeled in-process SQL engine, reference at /root/reference), designed
+TPU-first:
+
+- Data plane: fixed-width columnar device batches (jax arrays + validity
+  masks) instead of Arrow chunks; strings are dictionary-encoded int32 codes
+  against an interning dictionary (host-resident, device ops on codes).
+- Operators: vectorized JAX/XLA programs; hash aggregate / hash join / radix
+  sort have Pallas kernel paths for the hot loops (see sqlrs_tpu/ops/).
+- Distribution: tables hash-partitioned over a jax.sharding.Mesh; exchange =
+  all-to-all collectives via shard_map (see sqlrs_tpu/parallel/).
+- Frontend (parser/binder/planner/HEP optimizer) is host Python — it is not
+  perf-critical and is specified by the reference's plan-tree goldens.
+
+Entry point mirrors the reference's session layer (reference src/db.rs:107,
+src/main_entry/client_context.rs:34):
+
+    import sqlrs_tpu
+    db = sqlrs_tpu.Database()
+    db.create_csv_table("employee", "tests/csv/employee.csv")
+    rows = db.run("select first_name from employee where last_name='Hopkins'")
+"""
+
+# SQL needs 64-bit ints (BIGINT, SUM results) — enable x64 before any jax use.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from sqlrs_tpu.errors import (  # noqa: E402
+    BinderError,
+    CatalogError,
+    ExecutorError,
+    ParserError,
+    SqlrsError,
+    TypeError_,
+)
+from sqlrs_tpu.session.database import Database  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Database",
+    "SqlrsError",
+    "ParserError",
+    "BinderError",
+    "CatalogError",
+    "ExecutorError",
+    "TypeError_",
+]

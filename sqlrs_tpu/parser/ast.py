@@ -1,0 +1,189 @@
+"""SQL AST.
+
+Stands in for the external `sqlparser` crate the reference wraps
+(reference src/parser/mod.rs:5-46, PostgreSqlDialect). Only the surface the
+engine binds is modeled; every node is a plain dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from sqlrs_tpu.types import LogicalType
+
+
+# ---- expressions -----------------------------------------------------------
+
+
+@dataclass
+class Expr:
+    pass
+
+
+@dataclass
+class Literal(Expr):
+    # kind: "int" | "float" | "string" | "bool" | "null"
+    kind: str
+    value: Any
+
+
+@dataclass
+class TypedString(Expr):
+    """DATE '1998-12-01' style typed literal."""
+
+    type_name: str
+    value: str
+
+
+@dataclass
+class IntervalLiteral(Expr):
+    value: str  # the quoted magnitude, e.g. '1'
+    unit: str  # YEAR | MONTH | DAY | HOUR | MINUTE | SECOND
+
+
+@dataclass
+class Ident(Expr):
+    parts: list[str]  # a | t.a
+
+
+@dataclass
+class Star(Expr):
+    qualifier: Optional[str] = None  # None => *, "t" => t.*
+
+
+@dataclass
+class UnaryOp(Expr):
+    op: str  # - | + | NOT
+    operand: Expr
+
+
+@dataclass
+class BinaryOp(Expr):
+    op: str  # + - * / % = != < <= > >= AND OR
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class FunctionCall(Expr):
+    name: str
+    args: list[Expr]
+    distinct: bool = False
+    named_args: dict[str, Expr] = field(default_factory=dict)  # delim => ','
+
+
+@dataclass
+class Cast(Expr):
+    expr: Expr
+    type: LogicalType
+
+
+@dataclass
+class ScalarSubquery(Expr):
+    query: "SelectStmt"
+
+
+@dataclass
+class Parenthesized(Expr):
+    expr: Expr
+
+
+# ---- table references ------------------------------------------------------
+
+
+@dataclass
+class TableRef:
+    alias: Optional[str] = None
+
+
+@dataclass
+class BaseTableRef(TableRef):
+    name: str = ""
+    # table functions: read_csv('f.csv', header=>true)
+    args: Optional[list[Expr]] = None
+    named_args: dict[str, Expr] = field(default_factory=dict)
+
+
+@dataclass
+class SubqueryRef(TableRef):
+    query: Optional["SelectStmt"] = None
+
+
+@dataclass
+class JoinRef(TableRef):
+    left: Optional[TableRef] = None
+    right: Optional[TableRef] = None
+    join_type: str = "inner"  # inner | left | right | full | cross
+    condition: Optional[Expr] = None
+
+
+# ---- statements ------------------------------------------------------------
+
+
+@dataclass
+class Statement:
+    pass
+
+
+@dataclass
+class OrderByItem:
+    expr: Expr
+    asc: bool = True
+
+
+@dataclass
+class SelectStmt(Statement):
+    select_list: list[Expr] = field(default_factory=list)
+    from_table: Optional[TableRef] = None
+    where: Optional[Expr] = None
+    group_by: list[Expr] = field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: list[OrderByItem] = field(default_factory=list)
+    limit: Optional[Expr] = None
+    offset: Optional[Expr] = None
+    distinct: bool = False
+    aliases: list[Optional[str]] = field(default_factory=list)  # per select item
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    type: LogicalType
+
+
+@dataclass
+class CreateTableStmt(Statement):
+    name: str
+    columns: list[ColumnDef] = field(default_factory=list)
+    as_query: Optional[SelectStmt] = None
+
+
+@dataclass
+class InsertStmt(Statement):
+    table: str
+    columns: list[str] = field(default_factory=list)  # empty => all
+    values: Optional[list[list[Expr]]] = None
+    query: Optional[SelectStmt] = None
+
+
+@dataclass
+class CopyStmt(Statement):
+    table: str
+    path: str
+    options: dict[str, Any] = field(default_factory=dict)  # DELIMITER, HEADER
+
+
+@dataclass
+class ExplainStmt(Statement):
+    stmt: Statement
+
+
+@dataclass
+class ShowTablesStmt(Statement):
+    pass
+
+
+@dataclass
+class DescribeStmt(Statement):
+    table: str
