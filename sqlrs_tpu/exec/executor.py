@@ -1,0 +1,317 @@
+"""Operator executors: physical plan → device batches.
+
+The engine's data plane. Each operator consumes whole device-resident
+columnar batches and produces one (pipeline breakers land exactly where the
+reference materializes: agg, sort, join build — reference
+src/executor/order.rs:14, hash_join.rs:187, hash_agg.rs:32). Elementwise
+chains are jnp programs XLA fuses; grouping/join/sort dispatch to the
+kernels in sqlrs_tpu/ops/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import jax
+
+from sqlrs_tpu.binder.expression import BoundAggregate
+from sqlrs_tpu.data import Column, DeviceBatch, Schema, SchemaField
+from sqlrs_tpu.data.strings import NULL_CODE
+from sqlrs_tpu.errors import ExecutorError
+from sqlrs_tpu.exec.expression_executor import execute_expr, execute_scalar
+from sqlrs_tpu.ops import elementwise as ew
+from sqlrs_tpu.ops.grouping import (
+    dedup_mask,
+    group_ids,
+    seg_argmin_by,
+    seg_count_valid,
+    seg_max,
+    seg_min,
+    seg_sum,
+)
+from sqlrs_tpu.ops.join import equi_join_pairs
+from sqlrs_tpu.ops.sort import orderable_key, sort_indices
+from sqlrs_tpu.plan import physical as P
+from sqlrs_tpu.storage.memory import DataTable, null_column
+from sqlrs_tpu.types import LogicalType, numpy_dtype_for
+
+
+class Executor:
+    def __init__(self, db) -> None:
+        self.db = db
+
+    def execute(self, op: P.PhysicalOperator) -> DeviceBatch:
+        method = getattr(self, "_exec_" + type(op).__name__.removeprefix("Physical"))
+        return method(op)
+
+    # ---- scans -------------------------------------------------------------
+
+    def _exec_TableScan(self, op: P.PhysicalTableScan) -> DeviceBatch:
+        fn = self.db.catalog.table_function(op.function_name)
+        return fn.execute(self.db, op.bind_data, op.projection, op.bounds)
+
+    def _exec_DummyScan(self, op: P.PhysicalDummyScan) -> DeviceBatch:
+        return DeviceBatch(Schema(()), [], 1)
+
+    def _exec_ExpressionScan(self, op: P.PhysicalExpressionScan) -> DeviceBatch:
+        cols = []
+        for ci, t in enumerate(op.expr_types):
+            scalars = [
+                execute_scalar(row[ci]).cast_to(t) for row in op.expr_rows
+            ]
+            cols.append(Column.from_scalars(t, scalars))
+        return DeviceBatch(_schema(op), cols, len(op.expr_rows))
+
+    def _exec_ColumnDataScan(self, op: P.PhysicalColumnDataScan) -> DeviceBatch:
+        return op.batch
+
+    # ---- row-wise operators ---------------------------------------------------
+
+    def _exec_Projection(self, op: P.PhysicalProjection) -> DeviceBatch:
+        child = self.execute(op.children[0])
+        cols = [execute_expr(e, child) for e in op.exprs]
+        return DeviceBatch(_schema(op), cols, child.num_rows)
+
+    def _exec_Filter(self, op: P.PhysicalFilter) -> DeviceBatch:
+        child = self.execute(op.children[0])
+        keep = execute_expr(op.predicate, child)
+        idx = ew.selection_to_indices(keep)
+        return child.take(idx)
+
+    def _exec_Limit(self, op: P.PhysicalLimit) -> DeviceBatch:
+        child = self.execute(op.children[0])
+        offset = op.offset or 0
+        start = min(offset, child.num_rows)
+        count = child.num_rows - start
+        if op.limit is not None:
+            count = min(op.limit, count)
+        return child.slice(start, count)
+
+    def _exec_Order(self, op: P.PhysicalOrder) -> DeviceBatch:
+        child = self.execute(op.children[0])
+        if child.num_rows == 0:
+            return child
+        keys = [(execute_expr(e, child), asc) for e, asc in op.items]
+        return child.take(sort_indices(keys))
+
+    # ---- aggregation ------------------------------------------------------------
+
+    def _exec_SimpleAgg(self, op: P.PhysicalSimpleAgg) -> DeviceBatch:
+        child = self.execute(op.children[0])
+        return self._aggregate(op, [], op.aggregates, child)
+
+    def _exec_HashAgg(self, op: P.PhysicalHashAgg) -> DeviceBatch:
+        child = self.execute(op.children[0])
+        return self._aggregate(op, op.groups, op.aggregates, child)
+
+    def _aggregate(self, op, groups, aggs, child: DeviceBatch) -> DeviceBatch:
+        n = child.num_rows
+        if groups:
+            key_cols = [execute_expr(g, child) for g in groups]
+            gid, n_groups = group_ids(key_cols)
+        else:
+            key_cols = []
+            gid = jnp.zeros(n, dtype=jnp.int64)
+            n_groups = 1  # ungrouped agg always yields one row
+        out_cols: list[Column] = []
+        if key_cols:
+            rep = jax.ops.segment_min(
+                jnp.arange(n, dtype=jnp.int64), gid, num_segments=n_groups
+            )
+            out_cols.extend(c.take(rep) for c in key_cols)
+        for a in aggs:
+            out_cols.append(self._eval_aggregate(a, child, gid, n_groups))
+        return DeviceBatch(_schema(op), out_cols, n_groups)
+
+    def _eval_aggregate(
+        self, a: BoundAggregate, batch: DeviceBatch, gid, n_groups: int
+    ) -> Column:
+        n = batch.num_rows
+        if a.arg is None:  # count(*)
+            counts = seg_count_valid(jnp.ones(n, dtype=jnp.bool_), gid, n_groups)
+            return Column(
+                LogicalType.BIGINT, counts, jnp.ones(n_groups, dtype=jnp.bool_)
+            )
+        col = execute_expr(a.arg, batch)
+        valid = dedup_mask([col], gid) if a.distinct else col.valid
+        counts = seg_count_valid(valid, gid, n_groups)
+        has_any = counts > 0
+        name = a.function_name
+        if name == "count":
+            return Column(
+                LogicalType.BIGINT, counts, jnp.ones(n_groups, dtype=jnp.bool_)
+            )
+        if name in ("sum", "avg"):
+            acc_t = LogicalType.DOUBLE if name == "avg" else a.type
+            data = col.data.astype(numpy_dtype_for(acc_t))
+            s = seg_sum(data, valid, gid, n_groups)
+            if name == "avg":
+                data = s / jnp.maximum(counts, 1).astype(jnp.float64)
+                return Column(LogicalType.DOUBLE, data, has_any)
+            return Column(a.type, s, has_any)
+        if name in ("min", "max"):
+            if col.type == LogicalType.VARCHAR:
+                key, _ = orderable_key(col)
+                key = key if name == "min" else -key
+                win = seg_argmin_by(key, valid, gid, n_groups)
+                win_safe = jnp.clip(win, 0, max(n - 1, 0))
+                codes = (
+                    col.data[win_safe]
+                    if n > 0
+                    else jnp.full(n_groups, NULL_CODE, dtype=jnp.int32)
+                )
+                return Column(LogicalType.VARCHAR, codes, has_any)
+            info = (
+                np.iinfo(numpy_dtype_for(col.type))
+                if col.type.is_integral() or col.type == LogicalType.DATE
+                else np.finfo(numpy_dtype_for(col.type))
+            )
+            if name == "min":
+                data = seg_min(col.data, valid, gid, n_groups, info.max)
+            else:
+                data = seg_max(col.data, valid, gid, n_groups, info.min)
+            return Column(col.type, data, has_any)
+        raise ExecutorError(f"unknown aggregate {name}")
+
+    # ---- joins ----------------------------------------------------------------
+
+    def _exec_HashJoin(self, op: P.PhysicalHashJoin) -> DeviceBatch:
+        left = self.execute(op.children[0])
+        right = self.execute(op.children[1])
+        left_keys = [execute_expr(l, left) for l, _ in op.on]
+        right_keys = [execute_expr(r, right) for _, r in op.on]
+        l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
+
+        if op.filter is not None and len(l_idx):
+            pairs = _merge_rows(op, left, right, l_idx, r_idx)
+            keep = execute_expr(op.filter, pairs)
+            sel = ew.selection_to_indices(keep)
+            l_idx, r_idx = l_idx[np.asarray(sel)], r_idx[np.asarray(sel)]
+
+        # Unmatched-row passes. Right/full joins re-add unmatched right rows
+        # interleaved in probe (right-row) order — the reference's
+        # apply_join_filter rebuilds them inside the same probe batch
+        # (reference hash_join.rs:73-121), so `... right join department`
+        # emits Finance between Marketing and Engineering. Unmatched left
+        # rows come from a final pass and append at the end
+        # (reference hash_join.rs:294-322).
+        if op.join_type in ("right", "full"):
+            unmatched_r = np.setdiff1d(
+                np.arange(right.num_rows, dtype=np.int64), r_idx
+            )
+            sentinel = np.int64(-1)
+            all_l = np.concatenate([l_idx, np.full(len(unmatched_r), sentinel)])
+            all_r = np.concatenate([r_idx, unmatched_r])
+            order = np.argsort(all_r, kind="stable")
+            all_l, all_r = all_l[order], all_r[order]
+            matched_part = _merge_rows_nullable(op, left, right, all_l, all_r)
+        else:
+            matched_part = _merge_rows(op, left, right, l_idx, r_idx)
+        parts = [matched_part]
+        if op.join_type in ("left", "full"):
+            unmatched_l = np.setdiff1d(
+                np.arange(left.num_rows, dtype=np.int64), l_idx
+            )
+            parts.append(_merge_rows(op, left, right, unmatched_l, None))
+        return DeviceBatch.concat(parts)
+
+    def _exec_CrossJoin(self, op: P.PhysicalCrossJoin) -> DeviceBatch:
+        left = self.execute(op.children[0])
+        right = self.execute(op.children[1])
+        nl, nr = left.num_rows, right.num_rows
+        # left-major emission (reference src/executor/join/cross_join.rs:25)
+        l_idx = np.repeat(np.arange(nl, dtype=np.int64), nr)
+        r_idx = np.tile(np.arange(nr, dtype=np.int64), nl)
+        return _merge_rows(op, left, right, l_idx, r_idx)
+
+    # ---- DDL / DML ---------------------------------------------------------------
+
+    def _exec_CreateTable(self, op: P.PhysicalCreateTable) -> DeviceBatch:
+        from sqlrs_tpu.catalog.catalog import ColumnDefinition
+
+        storage = DataTable(op.column_names, op.column_types)
+        self.db.catalog.create_table(
+            op.table_name,
+            [ColumnDefinition(n, t) for n, t in zip(op.column_names, op.column_types)],
+            storage,
+            schema=op.schema_name,
+        )
+        if op.children:  # CREATE TABLE AS
+            batch = self.execute(op.children[0])
+            storage.append_batch(batch)
+        return _empty_result()
+
+    def _exec_Insert(self, op: P.PhysicalInsert) -> DeviceBatch:
+        child = self.execute(op.children[0])
+        entry = self.db.catalog.table(op.table_name)
+        cols: list[Column] = []
+        for ti, t in enumerate(op.expected_types):
+            src = op.column_index_map[ti]
+            if src is None:
+                data, valid = null_column(t, child.num_rows)
+                cols.append(Column.from_numpy(t, data, valid))
+            else:
+                cols.append(ew.cast_column(child.columns[src], t))
+        entry.storage.append_batch(
+            DeviceBatch(entry.storage.schema, cols, child.num_rows)
+        )
+        return _empty_result()
+
+    def _exec_Explain(self, op: P.PhysicalExplain) -> DeviceBatch:
+        from sqlrs_tpu.types import ScalarValue
+
+        keys = list(op.plan_strings.keys())
+        vals = [op.plan_strings[k] for k in keys]
+        cols = [
+            Column.from_scalars(
+                LogicalType.VARCHAR, [ScalarValue.varchar(k) for k in keys]
+            ),
+            Column.from_scalars(
+                LogicalType.VARCHAR, [ScalarValue.varchar(v) for v in vals]
+            ),
+        ]
+        return DeviceBatch(_schema(op), cols, len(keys))
+
+
+def _schema(op: P.PhysicalOperator) -> Schema:
+    return Schema(tuple(SchemaField(n, t) for n, t in zip(op.names, op.types)))
+
+
+def _empty_result() -> DeviceBatch:
+    return DeviceBatch(Schema(()), [], 0)
+
+
+def _merge_rows_nullable(op, left: DeviceBatch, right: DeviceBatch, l_idx, r_idx) -> DeviceBatch:
+    """Like _merge_rows but a -1 left index means NULL left columns for that
+    row (mixed matched/unmatched-right emission)."""
+    n = len(l_idx)
+    li = jnp.asarray(np.maximum(l_idx, 0))
+    l_valid = jnp.asarray(l_idx >= 0)
+    ri = jnp.asarray(r_idx)
+    cols: list[Column] = []
+    for c in left.columns:
+        cols.append(Column(c.type, c.data[li], jnp.logical_and(c.valid[li], l_valid)))
+    cols.extend(c.take(ri) for c in right.columns)
+    return DeviceBatch(_schema(op), cols, n)
+
+
+def _merge_rows(op, left: DeviceBatch, right: DeviceBatch, l_idx, r_idx) -> DeviceBatch:
+    """Gather (left_rows ++ right_rows) into the join output layout; None on a
+    side means all-NULL columns (unmatched-row passes)."""
+    n = len(l_idx) if l_idx is not None else len(r_idx)
+    cols: list[Column] = []
+    if l_idx is not None:
+        li = jnp.asarray(l_idx)
+        cols.extend(c.take(li) for c in left.columns)
+    else:
+        for c in left.columns:
+            data, valid = null_column(c.type, n)
+            cols.append(Column.from_numpy(c.type, data, valid))
+    if r_idx is not None:
+        ri = jnp.asarray(r_idx)
+        cols.extend(c.take(ri) for c in right.columns)
+    else:
+        for c in right.columns:
+            data, valid = null_column(c.type, n)
+            cols.append(Column.from_numpy(c.type, data, valid))
+    return DeviceBatch(_schema(op), cols, n)

@@ -1,0 +1,81 @@
+"""Expression executor: resolved BoundExpr tree → device Column.
+
+The vectorized evaluator (reference src/executor/evaluator.rs:13 eval_column;
+v2 src/execution/expression_executor.rs:11-40). Dispatches to the jnp kernels
+in sqlrs_tpu/ops/elementwise.py; XLA fuses the resulting op chains.
+"""
+
+from __future__ import annotations
+
+from sqlrs_tpu.binder.expression import (
+    BoundCast,
+    BoundComparison,
+    BoundConjunction,
+    BoundConstant,
+    BoundExpr,
+    BoundFunction,
+    BoundNot,
+    BoundReference,
+)
+from sqlrs_tpu.data import Column, DeviceBatch
+from sqlrs_tpu.errors import ExecutorError
+from sqlrs_tpu.ops import elementwise as ew
+from sqlrs_tpu.types import Interval, LogicalType, ScalarValue
+
+
+def execute_expr(expr: BoundExpr, batch: DeviceBatch) -> Column:
+    if isinstance(expr, BoundReference):
+        return batch.columns[expr.index]
+    if isinstance(expr, BoundConstant):
+        v = expr.value
+        t = v.type if v.type != LogicalType.SQLNULL else LogicalType.SQLNULL
+        return Column.broadcast(v, t, batch.num_rows)
+    if isinstance(expr, BoundCast):
+        child = execute_expr(expr.child, batch)
+        return ew.cast_column(child, expr.target, safe=expr.try_cast)
+    if isinstance(expr, BoundComparison):
+        left = execute_expr(expr.left, batch)
+        right = execute_expr(expr.right, batch)
+        return ew.compare(expr.op, left, right)
+    if isinstance(expr, BoundConjunction):
+        cols = [execute_expr(a, batch) for a in expr.args]
+        out = cols[0]
+        for c in cols[1:]:
+            out = ew.kleene_and(out, c) if expr.op == "AND" else ew.kleene_or(out, c)
+        return out
+    if isinstance(expr, BoundNot):
+        return ew.logical_not(execute_expr(expr.child, batch))
+    if isinstance(expr, BoundFunction):
+        return _execute_function(expr, batch)
+    raise ExecutorError(f"cannot execute expression {type(expr).__name__}")
+
+
+def _execute_function(expr: BoundFunction, batch: DeviceBatch) -> Column:
+    if expr.op in ("+", "-", "*", "/", "%"):
+        left = execute_expr(expr.args[0], batch)
+        right = execute_expr(expr.args[1], batch)
+        return ew.arithmetic(expr.op, expr.type, left, right)
+    if expr.op == "neg":
+        return ew.negate(execute_expr(expr.args[0], batch))
+    if expr.op in ("date+", "date-"):
+        dates = execute_expr(expr.args[0], batch)
+        interval = _constant_interval(expr.args[1])
+        sign = 1 if expr.op == "date+" else -1
+        return ew.date_add_interval(dates, interval, sign)
+    raise ExecutorError(f"unknown function kernel {expr.op}")
+
+
+def _constant_interval(expr: BoundExpr) -> Interval:
+    if isinstance(expr, BoundConstant) and isinstance(expr.value.value, Interval):
+        return expr.value.value
+    raise ExecutorError("INTERVAL operands must be constants")
+
+
+def execute_scalar(expr: BoundExpr) -> ScalarValue:
+    """Evaluate a row-independent expression on a 1-row dummy batch
+    (reference src/execution/util.rs:34)."""
+    from sqlrs_tpu.data import Schema
+
+    dummy = DeviceBatch(Schema(()), [], 1)
+    col = execute_expr(expr, dummy)
+    return col.scalar_at(0)

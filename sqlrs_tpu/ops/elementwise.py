@@ -1,0 +1,249 @@
+"""Vectorized elementwise kernels with validity-mask propagation.
+
+The device half of the expression evaluator (reference evaluates expressions
+with arrow compute kernels, src/executor/evaluator.rs:13 and
+src/executor/array_compute.rs:70-90; v2 via function impls,
+src/function/scalar/*). Everything here is (data, valid) -> (data, valid)
+pure jnp — XLA fuses chains of these into single kernels.
+
+NULL semantics:
+- arithmetic/comparison: NULL if any input is NULL;
+- AND/OR: Kleene three-valued logic (reference
+  src/function/conjunction/default_conjunction.rs:59, and_kleene/or_kleene);
+- VARCHAR ordering comparisons run on lexicographic-rank projections of the
+  dictionary codes (sqlrs_tpu/data/strings.py), equality directly on codes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from sqlrs_tpu.data import Column
+from sqlrs_tpu.data.strings import GLOBAL_STRINGS, NULL_CODE
+from sqlrs_tpu.errors import ExecutorError, TypeError_
+from sqlrs_tpu.types import Interval, LogicalType, numpy_dtype_for
+
+# ---- casts -----------------------------------------------------------------
+
+
+def cast_column(col: Column, dst: LogicalType, safe: bool = False) -> Column:
+    src = col.type
+    if src == dst:
+        return col
+    if src == LogicalType.SQLNULL:
+        dt = numpy_dtype_for(dst)
+        return Column(dst, jnp.zeros(len(col), dtype=dt), jnp.zeros(len(col), dtype=jnp.bool_))
+    if src.is_numeric() and dst.is_numeric():
+        valid = col.valid
+        if dst.is_integral():
+            from sqlrs_tpu.types.types import INT_RANGES, can_implicit_cast
+
+            if not can_implicit_cast(src, dst):
+                # narrowing: arrow checked-cast semantics — error on overflow
+                # (what makes `insert into t3(v1) values (1481)` on TINYINT
+                # UNSIGNED a statement error). Bounds are clamped to the
+                # source dtype's own range so the comparison constants are
+                # representable (e.g. UBIGINT's 2^64-1 vs an int64 source).
+                lo, hi = INT_RANGES[dst]
+                if src.is_integral():
+                    slo, shi = INT_RANGES[src]
+                else:
+                    slo, shi = -(2**63), 2**63 - 1
+                checks = []
+                if lo > slo:
+                    checks.append(col.data < lo)
+                if hi < shi:
+                    checks.append(col.data > hi)
+                if not checks:
+                    return Column(dst, col.data.astype(numpy_dtype_for(dst)), valid)
+                bad = checks[0]
+                for c in checks[1:]:
+                    bad = jnp.logical_or(bad, c)
+                bad = jnp.logical_and(valid, bad)
+                if safe:
+                    valid = jnp.logical_and(valid, jnp.logical_not(bad))
+                elif bool(jnp.any(bad)):
+                    raise TypeError_(f"cast overflow: {src} value out of {dst} range")
+        return Column(dst, col.data.astype(numpy_dtype_for(dst)), valid)
+    if src == LogicalType.BOOLEAN and dst.is_numeric():
+        return Column(dst, col.data.astype(numpy_dtype_for(dst)), col.valid)
+    # string-involved casts run on host through the dictionary (cold path)
+    from sqlrs_tpu.types import ScalarValue
+
+    scalars = [col.scalar_at(i) for i in range(len(col))]
+    out = []
+    for sv in scalars:
+        try:
+            out.append(sv.cast_to(dst, safe=safe))
+        except TypeError_:
+            if safe:
+                out.append(ScalarValue(dst, None))
+            else:
+                raise
+    return Column.from_scalars(dst, out)
+
+
+# ---- arithmetic --------------------------------------------------------------
+
+_ARITH = {"+", "-", "*", "/", "%"}
+
+
+def arithmetic(op: str, t: LogicalType, left: Column, right: Column) -> Column:
+    """Both inputs already cast to the common type t; output type t."""
+    valid = jnp.logical_and(left.valid, right.valid)
+    l, r = left.data, right.data
+    if op == "+":
+        data = l + r
+    elif op == "-":
+        data = l - r
+    elif op == "*":
+        data = l * r
+    elif op == "/":
+        if t.is_integral():
+            # SQL integer division truncates toward zero; x/0 -> NULL
+            safe_r = jnp.where(r == 0, jnp.ones_like(r), r)
+            q = jnp.abs(l) // jnp.abs(safe_r)
+            sign = jnp.sign(l) * jnp.sign(safe_r)
+            data = (q * sign).astype(l.dtype)
+            valid = jnp.logical_and(valid, r != 0)
+        else:
+            data = l / r
+    elif op == "%":
+        safe_r = jnp.where(r == 0, jnp.ones_like(r), r)
+        data = l - (jnp.abs(l) // jnp.abs(safe_r)) * jnp.sign(l) * jnp.abs(safe_r)
+        data = data.astype(l.dtype)
+        valid = jnp.logical_and(valid, r != 0)
+    else:
+        raise ExecutorError(f"unknown arithmetic op {op}")
+    return Column(t, data.astype(numpy_dtype_for(t)), valid)
+
+
+def negate(col: Column) -> Column:
+    return Column(col.type, -col.data, col.valid)
+
+
+# ---- comparisons -------------------------------------------------------------
+
+
+def _orderable_view(col: Column):
+    """Data array on which <,> are meaningful; VARCHAR goes through ranks."""
+    if col.type == LogicalType.VARCHAR:
+        ranks = jnp.asarray(GLOBAL_STRINGS.ranks())
+        codes = jnp.clip(col.data, 0, max(len(ranks) - 1, 0))
+        if len(ranks) == 0:
+            return jnp.zeros_like(col.data, dtype=jnp.int64)
+        return ranks[codes]
+    return col.data
+
+
+def compare(op: str, left: Column, right: Column) -> Column:
+    """Inputs already cast to a common type; returns BOOLEAN column."""
+    valid = jnp.logical_and(left.valid, right.valid)
+    if op == "=":
+        data = left.data == right.data
+    elif op == "!=":
+        data = left.data != right.data
+    else:
+        l, r = _orderable_view(left), _orderable_view(right)
+        if op == "<":
+            data = l < r
+        elif op == "<=":
+            data = l <= r
+        elif op == ">":
+            data = l > r
+        elif op == ">=":
+            data = l >= r
+        else:
+            raise ExecutorError(f"unknown comparison op {op}")
+    return Column(LogicalType.BOOLEAN, data, valid)
+
+
+# ---- Kleene logic ------------------------------------------------------------
+
+
+def kleene_and(left: Column, right: Column) -> Column:
+    l = jnp.logical_and(left.data, left.valid)  # treat NULL as "unknown"
+    r = jnp.logical_and(right.data, right.valid)
+    lf = jnp.logical_and(jnp.logical_not(left.data), left.valid)  # definitely false
+    rf = jnp.logical_and(jnp.logical_not(right.data), right.valid)
+    data = jnp.logical_and(l, r)
+    # result valid when: any side definitely false, or both sides valid
+    valid = jnp.logical_or(jnp.logical_or(lf, rf), jnp.logical_and(left.valid, right.valid))
+    return Column(LogicalType.BOOLEAN, data, valid)
+
+
+def kleene_or(left: Column, right: Column) -> Column:
+    lt = jnp.logical_and(left.data, left.valid)  # definitely true
+    rt = jnp.logical_and(right.data, right.valid)
+    data = jnp.logical_or(lt, rt)
+    valid = jnp.logical_or(jnp.logical_or(lt, rt), jnp.logical_and(left.valid, right.valid))
+    return Column(LogicalType.BOOLEAN, data, valid)
+
+
+def logical_not(col: Column) -> Column:
+    return Column(LogicalType.BOOLEAN, jnp.logical_not(col.data), col.valid)
+
+
+# ---- date +/- interval -------------------------------------------------------
+
+
+def _civil_from_days_vec(z):
+    z = z + 719468
+    era = jnp.where(z >= 0, z, z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + jnp.where(mp < 10, 3, -9)
+    return y + (m <= 2), m, d
+
+
+def _days_from_civil_vec(y, m, d):
+    y = y - (m <= 2)
+    era = jnp.where(y >= 0, y, y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + jnp.where(m > 2, -3, 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _last_day_of_month_vec(y, m):
+    thirty_one = jnp.isin(m, jnp.array([1, 3, 5, 7, 8, 10, 12]))
+    thirty = jnp.isin(m, jnp.array([4, 6, 9, 11]))
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    feb = jnp.where(leap, 29, 28)
+    return jnp.where(thirty_one, 31, jnp.where(thirty, 30, feb))
+
+
+def date_add_interval(dates: Column, interval: Interval, sign: int) -> Column:
+    """DATE ± INTERVAL, fully vectorized calendar math (reference
+    src/function/scalar/arithmetic_function.rs:63-192 date±interval overloads;
+    subtraction negates the interval first, :169-173). Month arithmetic
+    clamps the day to the target month's length; day-time arithmetic is
+    bit-compatible with arrow's IntervalDayTime (see types.values.Interval)."""
+    if sign < 0:
+        interval = interval.negate()
+    z = dates.data.astype(jnp.int64)
+    if interval.months:
+        y, m, d = _civil_from_days_vec(z)
+        total = y * 12 + (m - 1) + interval.months
+        y2 = total // 12
+        m2 = total % 12 + 1
+        d2 = jnp.minimum(d, _last_day_of_month_vec(y2, m2))
+        z = _days_from_civil_vec(y2, m2, d2)
+    z = z + interval.day_shift()
+    return Column(LogicalType.DATE, z.astype(jnp.int32), dates.valid)
+
+
+# ---- filter/selection helpers ------------------------------------------------
+
+
+def selection_to_indices(keep: Column) -> np.ndarray:
+    """Boolean predicate column -> row indices where the predicate is TRUE
+    (NULL counts as false). Host sync happens here — this is a pipeline
+    breaker by design; the compacted size is data-dependent."""
+    mask = np.logical_and(np.asarray(keep.data), np.asarray(keep.valid))
+    return np.nonzero(mask)[0]

@@ -1,0 +1,66 @@
+"""Device sort: multi-key, per-key direction, arrow-compatible null placement.
+
+Replaces the reference's materialize-all + `lexsort_to_indices` ORDER BY
+(reference src/executor/order.rs:14-38). Keys are encoded to orderable device
+arrays (strings via dictionary lex-ranks) and sorted with successive stable
+argsorts from least- to most-significant key — all on device. NULLs sort
+first in both directions (arrow SortOptions default the reference inherits).
+
+The Pallas radix-sort kernel (sqlrs_tpu/ops/radix_sort.py) is the scale path;
+this is the general correctness path XLA compiles to its own sort HLO.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from sqlrs_tpu.data import Column
+from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+from sqlrs_tpu.errors import ExecutorError
+from sqlrs_tpu.types import LogicalType
+
+
+def orderable_key(col: Column):
+    """(key, valid): key is an int64/float64 device array monotone in the
+    column's sort order."""
+    t = col.type
+    if t == LogicalType.VARCHAR:
+        ranks = GLOBAL_STRINGS.ranks()
+        if len(ranks) == 0:
+            return jnp.zeros(len(col), dtype=jnp.int64), col.valid
+        r = jnp.asarray(ranks)
+        codes = jnp.clip(col.data, 0, len(ranks) - 1)
+        return r[codes].astype(jnp.int64), col.valid
+    if t in (LogicalType.FLOAT, LogicalType.DOUBLE):
+        return col.data.astype(jnp.float64), col.valid
+    if t == LogicalType.BOOLEAN:
+        return col.data.astype(jnp.int64), col.valid
+    if t == LogicalType.UBIGINT:
+        # order-preserving shift into signed range
+        return (col.data - jnp.uint64(2**63)).astype(jnp.int64), col.valid
+    if t.is_numeric() or t in (LogicalType.DATE, LogicalType.INTERVAL):
+        return col.data.astype(jnp.int64), col.valid
+    raise ExecutorError(f"type {t} is not orderable")
+
+
+def _directed_key(col: Column, asc: bool):
+    key, valid = orderable_key(col)
+    if jnp.issubdtype(key.dtype, jnp.floating):
+        null_val = -jnp.inf if asc else jnp.inf
+    else:
+        lo, hi = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+        null_val = lo if asc else hi
+    return jnp.where(valid, key, null_val)
+
+
+def sort_indices(items: list[tuple[Column, bool]]):
+    """Permutation sorting rows by the given (column, ascending) keys;
+    stable, NULLs first. Runs entirely on device."""
+    n = len(items[0][0])
+    idx = jnp.arange(n, dtype=jnp.int64)
+    for col, asc in reversed(items):
+        k = _directed_key(col, asc)[idx]
+        order = jnp.argsort(k, stable=True, descending=not asc)
+        idx = idx[order]
+    return idx

@@ -325,9 +325,14 @@ class _Parser:
             return ref
         t = self.peek()
         if t.kind == "STRING":
-            # replacement scan: 'file.csv' [alias]
+            # replacement scan: 'file.csv' [alias]; the default alias is the
+            # file stem (reference bind_base_table_ref.rs:100-126 — makes
+            # `select t1.a from 'tests/csv/t1.csv'` resolve)
             self.advance()
             alias = self._maybe_alias()
+            if alias is None:
+                stem = t.value.replace("\\", "/").rsplit("/", 1)[-1]
+                alias = stem.rsplit(".", 1)[0] if "." in stem else stem
             return ast.BaseTableRef(
                 alias=alias,
                 name="read_csv",

@@ -1,5 +1,131 @@
-"""Placeholder; real session layer lands with the executor."""
+"""Session layer: Database / query pipeline orchestration.
+
+Mirrors the reference's two entry points in one class: v1
+`Database::run/explain` (reference src/db.rs:107,152) and the v2
+DatabaseInstance + ClientContext::query session objects (reference
+src/main_entry/db.rs:9, client_context.rs:34). A statement flows
+parse → bind → (HEP optimize) → physical plan → execute; a failed statement
+aborts only itself.
+
+v1-style CSV sessions preload every CSV as a table via `create_csv_table`
+(reference tests/sqllogictest/src/lib.rs:10-31 auto-loads tests/csv/*.csv).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from sqlrs_tpu.binder.binder import Binder
+from sqlrs_tpu.catalog.catalog import Catalog, ColumnDefinition
+from sqlrs_tpu.data import DeviceBatch
+from sqlrs_tpu.errors import SqlrsError
+from sqlrs_tpu.exec.executor import Executor
+from sqlrs_tpu.functions.table import BUILTIN_TABLE_FUNCTIONS
+from sqlrs_tpu.parser import ast, parse
+from sqlrs_tpu.plan.logical import LogicalExplain, explain_tree as explain_logical
+from sqlrs_tpu.plan.physical import PhysicalPlanGenerator, explain_tree as explain_physical
+from sqlrs_tpu.storage.csv import CsvConfig, read_csv_file
+from sqlrs_tpu.storage.memory import DataTable
+from sqlrs_tpu.utils.render import batches_to_slt_lines
 
 
 class Database:
-    pass
+    def __init__(self, base_dir: str | None = None) -> None:
+        self.catalog = Catalog()
+        for fn in BUILTIN_TABLE_FUNCTIONS:
+            self.catalog.register_table_function(fn.name, fn)
+        self._csv_cache: dict[tuple, DataTable] = {}
+        # relative csv paths in SQL resolve against base_dir (the reference
+        # resolves against its repo root when running the slt suite)
+        self.base_dir = base_dir or os.getcwd()
+
+    # ---- storage helpers ------------------------------------------------------
+
+    def _resolve_path(self, path: str) -> str:
+        if os.path.isabs(path):
+            return path
+        return os.path.join(self.base_dir, path)
+
+    def csv_cache_load(self, path: str, delim: str = ",", header: bool = True) -> DataTable:
+        path = self._resolve_path(path)
+        key = (os.path.abspath(path), delim, header)
+        if key not in self._csv_cache:
+            self._csv_cache[key] = read_csv_file(
+                path, CsvConfig(has_header=header, delimiter=delim)
+            )
+        return self._csv_cache[key]
+
+    def create_csv_table(self, name: str, path: str) -> None:
+        """v1-style CSV-backed table (reference src/cli.rs `\\load csv` and the
+        slt harness preload)."""
+        table = read_csv_file(path)
+        self.catalog.create_table(
+            name,
+            [ColumnDefinition(n, t) for n, t in zip(table.names, table.types)],
+            table,
+        )
+
+    def create_memory_table(self, name: str, batch: DeviceBatch) -> None:
+        table = DataTable.from_batch(batch)
+        self.catalog.create_table(
+            name,
+            [
+                ColumnDefinition(f.name, f.type)
+                for f in batch.schema.fields
+            ],
+            table,
+        )
+
+    # ---- query pipeline ----------------------------------------------------------
+
+    def run(self, sql: str) -> list[DeviceBatch]:
+        """Execute all statements; returns the last statement's batches."""
+        stmts = parse(sql)
+        if not stmts:
+            return []
+        out: list[DeviceBatch] = []
+        for stmt in stmts:
+            out = self._run_statement(stmt)
+        return out
+
+    def run_lines(self, sql: str) -> list[str]:
+        """Execute and render rows with slt rules (one string per row)."""
+        return batches_to_slt_lines(self.run(sql))
+
+    def explain(self, sql: str) -> str:
+        rows = self.run("explain " + sql)
+        lines = []
+        for b in rows:
+            for key, val in b.to_pylist():
+                lines.append(f"=== {key} ===\n{val}")
+        return "\n".join(lines)
+
+    def _run_statement(self, stmt: ast.Statement) -> list[DeviceBatch]:
+        binder = Binder(self)
+        bound = binder.bind(stmt)
+        plan = bound.plan
+
+        if isinstance(plan, LogicalExplain):
+            plan.plan_strings["logical_plan"] = explain_logical(plan.children[0])
+
+        plan = self._optimize(plan)
+
+        phys = PhysicalPlanGenerator().create_plan(plan)
+        if isinstance(plan, LogicalExplain):
+            phys.plan_strings = dict(plan.plan_strings)
+            phys.plan_strings["physical_plan"] = explain_physical(phys.children[0])
+
+        batch = Executor(self).execute(phys)
+        return [batch] if len(batch.schema) > 0 else []
+
+    def _optimize(self, plan):
+        """HEP optimizer hook; rule engine lands in sqlrs_tpu/optimizer/."""
+        from sqlrs_tpu.optimizer import optimize as hep_optimize
+
+        optimized = hep_optimize(plan)
+        if isinstance(optimized, LogicalExplain):
+            optimized.plan_strings["optimized_logical_plan"] = explain_logical(
+                optimized.children[0]
+            )
+        return optimized

@@ -19,23 +19,56 @@ from sqlrs_tpu.errors import TypeError_
 from sqlrs_tpu.types.types import INT_RANGES, LogicalType
 
 
+MS_PER_DAY = 86_400_000
+
+
 @dataclass(frozen=True)
 class Interval:
-    """Calendar interval: months + days (packs to int64 on device)."""
+    """Calendar interval.
+
+    `months` models arrow IntervalYearMonth; `raw_ms` models the arrow
+    IntervalDayTime i64 *bit pattern* the reference builds from literals as a
+    flat millisecond count (reference
+    src/planner_v2/expression_binder.rs:149-164: DAY → num*86400000 etc.).
+    Date arithmetic reproduces arrow 28's `Date32Type::add_day_time` exactly:
+    the i64 splits into (days = high 32, ms = low 32 bitcast), both are added
+    to midnight, and the result floors back to a date. Negating the flat
+    count therefore shifts by -2 days for interval '1' day — the reference's
+    observed `date '1998-12-01' - interval '1' day` = 1998-11-29 — and this
+    implementation is bit-compatible with that behavior.
+    """
 
     months: int = 0
-    days: int = 0
+    raw_ms: int = 0
 
+    def negate(self) -> "Interval":
+        return Interval(-self.months, -self.raw_ms)
+
+    def day_shift(self) -> int:
+        """Whole-day displacement of the day-time part (arrow to_parts +
+        floor-to-date semantics)."""
+        days_hi = self.raw_ms >> 32  # arithmetic shift
+        ms_lo = self.raw_ms & 0xFFFFFFFF
+        if ms_lo >= 2**31:
+            ms_lo -= 2**32
+        total_ms = days_hi * MS_PER_DAY + ms_lo
+        return total_ms // MS_PER_DAY  # floor division
+
+    # device packing (interval columns are rare; months and raw day-time ms
+    # never coexist for literal-built intervals)
     def pack(self) -> int:
-        return (self.months << 32) | (self.days & 0xFFFFFFFF)
+        if self.months:
+            return (1 << 62) | (self.months & 0xFFFFFFFF)
+        return self.raw_ms
 
     @staticmethod
     def unpack(packed: int) -> "Interval":
-        months = packed >> 32
-        days = packed & 0xFFFFFFFF
-        if days >= 2**31:
-            days -= 2**32
-        return Interval(months=months, days=days)
+        if packed >> 62 == 1:
+            months = packed & 0xFFFFFFFF
+            if months >= 2**31:
+                months -= 2**32
+            return Interval(months=months)
+        return Interval(raw_ms=packed)
 
 
 @dataclass(frozen=True)
@@ -72,8 +105,8 @@ class ScalarValue:
         return ScalarValue(LogicalType.DATE, date_str_to_days(s))
 
     @staticmethod
-    def interval(months: int = 0, days: int = 0) -> "ScalarValue":
-        return ScalarValue(LogicalType.INTERVAL, Interval(months, days))
+    def interval(months: int = 0, raw_ms: int = 0) -> "ScalarValue":
+        return ScalarValue(LogicalType.INTERVAL, Interval(months, raw_ms))
 
     # ---- properties ------------------------------------------------------
 

@@ -54,8 +54,8 @@ def render_value(t: LogicalType, v: Any) -> str:
         parts = []
         if iv.months:
             parts.append(f"{iv.months} mons")
-        if iv.days or not parts:
-            parts.append(f"{iv.days} days")
+        if iv.raw_ms or not parts:
+            parts.append(f"{iv.raw_ms} ms")
         return " ".join(parts)
     return str(v)
 
