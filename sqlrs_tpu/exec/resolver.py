@@ -66,6 +66,10 @@ def resolve_column_bindings(op: LogicalOperator) -> None:
     if isinstance(
         op, (LogicalProjection, LogicalFilter, LogicalOrder, LogicalAggregate)
     ):
+        if isinstance(op, LogicalProjection):
+            # snapshot bindings before exprs turn positional (pass-through
+            # projections derive their bindings from the exprs)
+            op.frozen_bindings = op.output_bindings()
         child_bindings = op.children[0].output_bindings()
         exprs = [_resolve_against(e, child_bindings) for e in op.expressions()]
         op.set_expressions(exprs)

@@ -1,17 +1,30 @@
-"""Plan optimizer.
+"""HEP plan optimizer.
 
-The HEP rule engine (reference src/optimizer/heuristic/) lands here; until
-the rule batches are in, `optimize` is identity — plans produced by the
-binder are already executable, the optimizer only improves them.
+Engine in hep.py (reference src/optimizer/heuristic/), rules in rules.py
+(reference src/optimizer/rules/). The batch schedule replicates the
+reference's default_optimizer (reference src/db.rs:57-105): predicate
+pushdown → limit pushdown → column pruning → combine operators → simplify
+casts; the physical-rewrite batch is the PhysicalPlanGenerator.
 """
 
+from sqlrs_tpu.optimizer.hep import HepBatch, HepBatchStrategy, HepOptimizer
+from sqlrs_tpu.optimizer.rules import default_rule_batches
 from sqlrs_tpu.plan.logical import LogicalOperator
 
 
-def optimize(plan: LogicalOperator) -> LogicalOperator:
-    try:
-        from sqlrs_tpu.optimizer.hep import default_optimizer
+def default_optimizer(trace: bool = False) -> HepOptimizer:
+    return HepOptimizer(default_rule_batches(), trace=trace)
 
-        return default_optimizer().find_best(plan)
-    except ImportError:
-        return plan
+
+def optimize(plan: LogicalOperator) -> LogicalOperator:
+    return default_optimizer().find_best(plan)
+
+
+__all__ = [
+    "HepOptimizer",
+    "HepBatch",
+    "HepBatchStrategy",
+    "default_optimizer",
+    "default_rule_batches",
+    "optimize",
+]

@@ -1,0 +1,492 @@
+"""The optimizer rule set.
+
+Reimplements the reference's 13 RuleImpl variants (reference
+src/optimizer/rules/mod.rs:23-43) over binding-based expressions:
+
+- PushPredicateThroughNonJoin / PushPredicateThroughJoin
+  (pushdown_predicates.rs:46,195; per-join-type side pushdown :139-190;
+  alias rewrite through projections :222-254 — here generalized: every
+  projection output is substituted, not just aliases)
+- LimitProjectTranspose / PushLimitThroughJoin / PushLimitIntoTableScan /
+  EliminateLimits (pushdown_limit.rs:51,146,227,80; limit+offset fold
+  :170-179)
+- PushProjectThroughChild / PushProjectIntoTableScan / RemoveNoopOperators
+  (column_pruning.rs:112,47,212)
+- CollapseProject / CombineFilter (combine_operators.rs:33,72)
+- SimplifyCasts (simplification.rs:22 — constant-folds casts)
+- PhysicalRewriteRule (physical_rewrite.rs:15) lives in
+  sqlrs_tpu/plan/physical.py as the PhysicalPlanGenerator kernel choice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from sqlrs_tpu.binder.expression import (
+    BoundCast,
+    BoundColumnRef,
+    BoundConjunction,
+    BoundConstant,
+    BoundExpr,
+    ColumnBinding,
+    rewrite_expr,
+    visit_expr,
+)
+from sqlrs_tpu.errors import TypeError_
+from sqlrs_tpu.optimizer.hep import Pattern, Rule
+from sqlrs_tpu.plan.logical import (
+    LogicalAggregate,
+    LogicalCrossJoin,
+    LogicalFilter,
+    LogicalGet,
+    LogicalJoin,
+    LogicalLimit,
+    LogicalOperator,
+    LogicalOrder,
+    LogicalProjection,
+)
+
+# ---- expression helpers -----------------------------------------------------
+
+
+def referenced_bindings(exprs) -> set[ColumnBinding]:
+    out: set[ColumnBinding] = set()
+
+    def f(e):
+        if isinstance(e, BoundColumnRef):
+            out.add(e.binding)
+
+    for e in exprs:
+        visit_expr(e, f)
+    return out
+
+
+def substitute_bindings(
+    expr: BoundExpr, mapping: dict[ColumnBinding, BoundExpr]
+) -> BoundExpr:
+    def f(e):
+        if isinstance(e, BoundColumnRef):
+            return mapping.get(e.binding)
+        return None
+
+    return rewrite_expr(expr, f)
+
+
+def split_conjuncts(expr: BoundExpr) -> list[BoundExpr]:
+    if isinstance(expr, BoundConjunction) and expr.op == "AND":
+        out: list[BoundExpr] = []
+        for a in expr.args:
+            out.extend(split_conjuncts(a))
+        return out
+    return [expr]
+
+
+def combine_conjuncts(exprs: list[BoundExpr]) -> Optional[BoundExpr]:
+    if not exprs:
+        return None
+    if len(exprs) == 1:
+        return exprs[0]
+    return BoundConjunction("AND", tuple(exprs))
+
+
+def _filter_over(exprs: list[BoundExpr], child: LogicalOperator) -> LogicalOperator:
+    pred = combine_conjuncts(exprs)
+    if pred is None:
+        return child
+    return LogicalFilter(children=[child], predicate=pred)
+
+
+def _is(cls):
+    return lambda p: isinstance(p, cls)
+
+
+# ---- predicate pushdown --------------------------------------------------------
+
+
+class PushPredicateThroughNonJoin(Rule):
+    """Filter(Projection) → Projection(Filter) with projection outputs
+    substituted into the predicate (handles column aliases; reference
+    pushdown_predicates.rs:195-266)."""
+
+    name = "PushPredicateThroughNonJoin"
+    pattern = Pattern(_is(LogicalFilter), [Pattern(_is(LogicalProjection))])
+
+    def apply(self, node):
+        proj: LogicalProjection = node.children[0]
+        mapping = {b: e for b, e in zip(proj.output_bindings(), proj.exprs)}
+        new_pred = substitute_bindings(node.predicate, mapping)
+        new_filter = LogicalFilter(children=proj.children, predicate=new_pred)
+        return LogicalProjection(
+            children=[new_filter],
+            table_index=proj.table_index,
+            exprs=proj.exprs,
+            names=proj.names,
+            passthrough=proj.passthrough,
+        )
+
+
+class PushPredicateThroughJoin(Rule):
+    """Filter(Join) → per-join-type side pushdown (reference
+    pushdown_predicates.rs:46-190). Inner: sides pushed, common conjuncts
+    merged into the join's residual filter. Left/Right: only the preserved
+    side's conjuncts are pushed; the rest stays above."""
+
+    name = "PushPredicateThroughJoin"
+    pattern = Pattern(_is(LogicalFilter), [Pattern(_is(LogicalJoin))])
+
+    def apply(self, node):
+        join: LogicalJoin = node.children[0]
+        if join.join_type not in ("inner", "left", "right"):
+            return None
+        left, right = join.children
+        left_b = set(left.output_bindings())
+        right_b = set(right.output_bindings())
+        conjuncts = split_conjuncts(node.predicate)
+        left_f = [
+            c for c in conjuncts if referenced_bindings([c]) <= left_b
+        ]
+        rest = [c for c in conjuncts if c not in left_f]
+        right_f = [c for c in rest if referenced_bindings([c]) <= right_b]
+        common = [c for c in rest if c not in right_f]
+        if not left_f and not right_f and not common:
+            return None
+
+        if join.join_type == "inner":
+            new_join = LogicalJoin(
+                children=[_filter_over(left_f, left), _filter_over(right_f, right)],
+                join_type=join.join_type,
+                on=join.on,
+                filter=combine_conjuncts(
+                    ([join.filter] if join.filter is not None else []) + common
+                ),
+            )
+            return new_join
+        if join.join_type == "left":
+            if not left_f:
+                return None
+            new_join = LogicalJoin(
+                children=[_filter_over(left_f, left), right],
+                join_type=join.join_type,
+                on=join.on,
+                filter=join.filter,
+            )
+            return _filter_over(right_f + common, new_join)
+        # right join
+        if not right_f:
+            return None
+        new_join = LogicalJoin(
+            children=[left, _filter_over(right_f, right)],
+            join_type=join.join_type,
+            on=join.on,
+            filter=join.filter,
+        )
+        return _filter_over(left_f + common, new_join)
+
+
+# ---- limit pushdown --------------------------------------------------------------
+
+
+class LimitProjectTranspose(Rule):
+    name = "LimitProjectTranspose"
+    pattern = Pattern(_is(LogicalLimit), [Pattern(_is(LogicalProjection))])
+
+    def apply(self, node):
+        proj: LogicalProjection = node.children[0]
+        new_limit = LogicalLimit(
+            children=proj.children, limit=node.limit, offset=node.offset
+        )
+        return LogicalProjection(
+            children=[new_limit],
+            table_index=proj.table_index,
+            exprs=proj.exprs,
+            names=proj.names,
+            passthrough=proj.passthrough,
+        )
+
+
+class PushLimitThroughJoin(Rule):
+    """Copy limit+offset rows to the preserved side of an outer join
+    (reference pushdown_limit.rs:146-225)."""
+
+    name = "PushLimitThroughJoin"
+    pattern = Pattern(_is(LogicalLimit), [Pattern(_is(LogicalJoin))])
+
+    def apply(self, node):
+        if node.limit is None:
+            return None
+        join: LogicalJoin = node.children[0]
+        count = node.limit + (node.offset or 0)
+        side = {"left": 0, "right": 1}.get(join.join_type)
+        if side is None:
+            return None
+        child = join.children[side]
+        if isinstance(child, LogicalLimit) and (
+            child.limit is not None and child.limit <= count
+        ):
+            return None  # already pushed
+        pushed = LogicalLimit(children=[child], limit=count, offset=None)
+        new_children = list(join.children)
+        new_children[side] = pushed
+        new_join = LogicalJoin(
+            children=new_children,
+            join_type=join.join_type,
+            on=join.on,
+            filter=join.filter,
+        )
+        return LogicalLimit(children=[new_join], limit=node.limit, offset=node.offset)
+
+
+class PushLimitIntoTableScan(Rule):
+    name = "PushLimitIntoTableScan"
+    pattern = Pattern(_is(LogicalLimit), [Pattern(_is(LogicalGet))])
+
+    def apply(self, node):
+        get: LogicalGet = node.children[0]
+        if get.bounds is not None:
+            return None
+        limit = node.limit if node.limit is not None else (1 << 62)
+        get2 = LogicalGet(
+            table_index=get.table_index,
+            function_name=get.function_name,
+            bind_data=get.bind_data,
+            returned_types=get.returned_types,
+            returned_names=get.returned_names,
+            projection=get.projection,
+            bounds=(node.offset or 0, limit),
+        )
+        return get2
+
+
+class EliminateLimits(Rule):
+    """Limit(Limit) → one (limits min'ed, offsets summed; reference
+    pushdown_limit.rs:80-144)."""
+
+    name = "EliminateLimits"
+    pattern = Pattern(_is(LogicalLimit), [Pattern(_is(LogicalLimit))])
+
+    def apply(self, node):
+        inner: LogicalLimit = node.children[0]
+        if node.limit is not None and inner.limit is not None:
+            limit = min(node.limit, inner.limit)
+        else:
+            limit = node.limit if node.limit is not None else inner.limit
+        if node.offset is not None and inner.offset is not None:
+            offset = node.offset + inner.offset
+        else:
+            offset = node.offset if node.offset is not None else inner.offset
+        return LogicalLimit(children=inner.children, limit=limit, offset=offset)
+
+
+# ---- column pruning ---------------------------------------------------------------
+
+
+_PRUNABLE = (LogicalFilter, LogicalOrder, LogicalLimit, LogicalAggregate,
+              LogicalJoin, LogicalCrossJoin)
+
+
+class PushProjectThroughChild(Rule):
+    """Insert pass-through pruning projections below a projection's child so
+    scans only materialize referenced columns (reference
+    column_pruning.rs:112-210). Critical for HBM footprint."""
+
+    name = "PushProjectThroughChild"
+    pattern = Pattern(
+        _is(LogicalProjection), [Pattern(lambda p: isinstance(p, _PRUNABLE))]
+    )
+
+    def apply(self, node: LogicalProjection):
+        child = node.children[0]
+        required = referenced_bindings(node.exprs) | referenced_bindings(
+            child.expressions()
+        )
+        changed = False
+        new_grandchildren = []
+        for g in child.children:
+            g_bindings = g.output_bindings()
+            needed = [b for b in g_bindings if b in required]
+            if len(needed) == len(g_bindings) or not needed:
+                new_grandchildren.append(g)
+                continue
+            if isinstance(g, LogicalProjection) and g.passthrough:
+                new_grandchildren.append(g)
+                continue
+            g_types = g.output_types()
+            g_names = g.output_names()
+            pos = {b: i for i, b in enumerate(g_bindings)}
+            prune = LogicalProjection(
+                children=[g],
+                table_index=-1,
+                exprs=[
+                    BoundColumnRef(b, g_types[pos[b]], g_names[pos[b]])
+                    for b in needed
+                ],
+                names=[g_names[pos[b]] for b in needed],
+                passthrough=True,
+            )
+            new_grandchildren.append(prune)
+            changed = True
+        if not changed:
+            return None
+        child.children = new_grandchildren
+        return node
+
+
+class PushProjectIntoTableScan(Rule):
+    """Projection(Get) → Get with the scan pruned to referenced columns
+    (reference column_pruning.rs:47-110). Pass-through pruning projections
+    collapse into the scan entirely."""
+
+    name = "PushProjectIntoTableScan"
+    pattern = Pattern(_is(LogicalProjection), [Pattern(_is(LogicalGet))])
+
+    def apply(self, node: LogicalProjection):
+        get: LogicalGet = node.children[0]
+        if get.projection is not None:
+            return None
+        required = referenced_bindings(node.exprs)
+        cols = [
+            c
+            for c in range(len(get.returned_types))
+            if ColumnBinding(get.table_index, c) in required
+        ]
+        if len(cols) == len(get.returned_types):
+            return None
+        get2 = LogicalGet(
+            table_index=get.table_index,
+            function_name=get.function_name,
+            bind_data=get.bind_data,
+            returned_types=get.returned_types,
+            returned_names=get.returned_names,
+            projection=cols,
+            bounds=get.bounds,
+        )
+        if node.passthrough and [b.column_index for b in node.output_bindings()] == cols:
+            return get2  # projection became the scan itself
+        node.children = [get2]
+        return node
+
+
+class RemoveNoopOperators(Rule):
+    """Remove identity projections (reference column_pruning.rs:212-260)."""
+
+    name = "RemoveNoopOperators"
+    pattern = Pattern(_is(LogicalProjection))
+
+    def apply(self, node: LogicalProjection):
+        if not node.passthrough:
+            return None
+        child = node.children[0]
+        if node.output_bindings() == child.output_bindings():
+            return child
+        return None
+
+
+# ---- combine operators ----------------------------------------------------------------
+
+
+class CollapseProject(Rule):
+    name = "CollapseProject"
+    pattern = Pattern(_is(LogicalProjection), [Pattern(_is(LogicalProjection))])
+
+    def apply(self, node: LogicalProjection):
+        inner: LogicalProjection = node.children[0]
+        mapping = {b: e for b, e in zip(inner.output_bindings(), inner.exprs)}
+        new_exprs = [substitute_bindings(e, mapping) for e in node.exprs]
+        return LogicalProjection(
+            children=inner.children,
+            table_index=node.table_index,
+            exprs=new_exprs,
+            names=node.names,
+            passthrough=node.passthrough
+            and all(isinstance(e, BoundColumnRef) for e in new_exprs),
+        )
+
+
+class CombineFilter(Rule):
+    name = "CombineFilter"
+    pattern = Pattern(_is(LogicalFilter), [Pattern(_is(LogicalFilter))])
+
+    def apply(self, node: LogicalFilter):
+        inner: LogicalFilter = node.children[0]
+        pred = combine_conjuncts(
+            split_conjuncts(node.predicate) + split_conjuncts(inner.predicate)
+        )
+        return LogicalFilter(children=inner.children, predicate=pred)
+
+
+# ---- simplification ---------------------------------------------------------------------
+
+
+class SimplifyCasts(Rule):
+    """Constant-fold casts everywhere (reference simplification.rs:22-80)."""
+
+    name = "SimplifyCasts"
+    pattern = Pattern(lambda p: True)
+
+    def apply(self, node: LogicalOperator):
+        exprs = node.expressions()
+        if not exprs:
+            return None
+        changed = False
+
+        def fold(e):
+            nonlocal changed
+            if isinstance(e, BoundCast):
+                if e.child.return_type() == e.target:
+                    changed = True
+                    return e.child
+                if isinstance(e.child, BoundConstant):
+                    try:
+                        v = e.child.value.cast_to(e.target, safe=e.try_cast)
+                    except TypeError_:
+                        return None
+                    changed = True
+                    return BoundConstant(v)
+            return None
+
+        new = [rewrite_expr(e, fold) for e in exprs]
+        if not changed:
+            return None
+        node.set_expressions(new)
+        return node
+
+
+def default_rule_batches():
+    from sqlrs_tpu.optimizer.hep import HepBatch, HepBatchStrategy
+
+    return [
+        HepBatch(
+            "Predicate pushdown",
+            HepBatchStrategy.fix_point_topdown(10),
+            [PushPredicateThroughNonJoin(), PushPredicateThroughJoin()],
+        ),
+        HepBatch(
+            "Limit pushdown",
+            HepBatchStrategy.fix_point_topdown(10),
+            [
+                LimitProjectTranspose(),
+                PushLimitThroughJoin(),
+                PushLimitIntoTableScan(),
+                EliminateLimits(),
+            ],
+        ),
+        HepBatch(
+            "Column pruning",
+            HepBatchStrategy.fix_point_topdown(10),
+            [
+                PushProjectThroughChild(),
+                PushProjectIntoTableScan(),
+                RemoveNoopOperators(),
+            ],
+        ),
+        HepBatch(
+            "Combine operators",
+            HepBatchStrategy.fix_point_topdown(10),
+            [CollapseProject(), CombineFilter()],
+        ),
+        HepBatch(
+            "One-time simplification",
+            HepBatchStrategy.once_topdown(),
+            [SimplifyCasts()],
+        ),
+    ]

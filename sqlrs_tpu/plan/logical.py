@@ -130,8 +130,21 @@ class LogicalProjection(LogicalOperator):
     table_index: int = 0
     exprs: list[BoundExpr] = field(default_factory=list)
     names: list[str] = field(default_factory=list)
+    # Pruning projections inserted by the column-pruning rules are
+    # "pass-through": every expr is a bare ColumnRef and the output KEEPS the
+    # original bindings, so ancestors' (table, column) references still
+    # resolve (the reference's v1 works on named columns and has no such
+    # distinction; this is the binding-based equivalent).
+    passthrough: bool = False
+    # set by the ColumnBindingResolver before exprs are rewritten to
+    # positional references (passthrough bindings derive from the exprs)
+    frozen_bindings: Optional[list[ColumnBinding]] = None
 
     def output_bindings(self):
+        if self.frozen_bindings is not None:
+            return list(self.frozen_bindings)
+        if self.passthrough:
+            return [e.binding for e in self.exprs]  # all BoundColumnRef
         return [ColumnBinding(self.table_index, i) for i in range(len(self.exprs))]
 
     def output_types(self):

@@ -1,0 +1,180 @@
+"""Optimizer plan-shape tests.
+
+The binding-based equivalent of the reference's sqlplannertest golden suites
+(reference tests/planner/{predicate-pushdown,limit-pushdown,column-pruning,
+combine-operators}.yml + checked-in *.planner.sql snapshots): each test
+optimizes a bound plan and asserts the resulting tree shape.
+"""
+
+import pytest
+
+import sqlrs_tpu
+from sqlrs_tpu.binder.binder import Binder
+from sqlrs_tpu.optimizer import optimize
+from sqlrs_tpu.parser import parse_one
+from sqlrs_tpu.plan import logical as L
+from sqlrs_tpu.plan.logical import explain_tree
+
+
+@pytest.fixture()
+def db():
+    d = sqlrs_tpu.Database()
+    d.run("create table t1(a int, b int, c int)")
+    d.run("create table t2(a int, b int, c int)")
+    return d
+
+
+def plan_for(db, sql):
+    return optimize(Binder(db).bind(parse_one(sql)).plan)
+
+
+def ops_preorder(plan):
+    out = [type(plan).__name__]
+    for c in plan.children:
+        out.extend(ops_preorder(c))
+    return out
+
+
+def find_ops(plan, cls):
+    hits = [plan] if isinstance(plan, cls) else []
+    for c in plan.children:
+        hits.extend(find_ops(c, cls))
+    return hits
+
+
+# ---- predicate pushdown ------------------------------------------------------
+
+
+def test_push_filter_into_join_sides(db):
+    p = plan_for(db, "select t1.a from t1 inner join t2 on t1.a=t2.a where t1.b > 1 and t2.c < 5")
+    # both single-side conjuncts pushed below the join
+    join = find_ops(p, L.LogicalJoin)[0]
+    assert isinstance(join.children[0], (L.LogicalFilter, L.LogicalProjection))
+    filters = find_ops(p, L.LogicalFilter)
+    assert len(filters) == 2
+    for f in filters:
+        assert not isinstance(p, L.LogicalFilter)  # none left at the top
+
+
+def test_left_join_pushes_only_left_side(db):
+    p = plan_for(db, "select t1.a from t1 left join t2 on t1.a=t2.a where t1.b > 1 and t2.c < 5")
+    join = find_ops(p, L.LogicalJoin)[0]
+    # left-side conjunct pushed to left child; right-side conjunct must NOT
+    # be below the join (it would wrongly drop pre-join right rows)
+    left_side_filters = find_ops(join.children[0], L.LogicalFilter)
+    assert len(left_side_filters) == 1
+    assert "b" in left_side_filters[0].predicate.name()
+    assert not find_ops(join.children[1], L.LogicalFilter)
+    above = [f for f in find_ops(p, L.LogicalFilter) if f not in left_side_filters]
+    assert len(above) == 1 and "c" in above[0].predicate.name()
+
+
+def test_filter_pushed_through_subquery_projection(db):
+    p = plan_for(db, "select t.a from (select * from t1 where a > 1) t where t.b > 7")
+    # outer and inner filters combined below the subquery projection
+    filters = find_ops(p, L.LogicalFilter)
+    assert len(filters) == 1
+    pred = filters[0].predicate.name()
+    assert "b" in pred and "a" in pred
+    # and the filter sits directly on the (pruned) scan
+    assert isinstance(filters[0].children[0], (L.LogicalGet, L.LogicalProjection))
+
+
+# ---- limit pushdown ------------------------------------------------------------
+
+
+def test_limit_into_table_scan(db):
+    p = plan_for(db, "select a from t1 limit 2 offset 1")
+    gets = find_ops(p, L.LogicalGet)
+    assert gets[0].bounds == (1, 2)
+    assert not find_ops(p, L.LogicalLimit)  # absorbed by the scan
+
+
+def test_limit_through_left_join(db):
+    p = plan_for(db, "select t1.a from t1 left join t2 on t1.a=t2.a limit 3")
+    join = find_ops(p, L.LogicalJoin)[0]
+    # limit(3) copied into the preserved side (absorbed into the scan bounds)
+    left_gets = find_ops(join.children[0], L.LogicalGet)
+    assert left_gets[0].bounds == (0, 3)
+    # outer limit retained
+    assert find_ops(p, L.LogicalLimit)
+
+
+def test_eliminate_limits_fold(db):
+    from sqlrs_tpu.optimizer.rules import EliminateLimits
+
+    inner = L.LogicalLimit(children=[L.LogicalDummyScan()], limit=10, offset=2)
+    outer = L.LogicalLimit(children=[inner], limit=5, offset=1)
+    out = EliminateLimits().apply(outer)
+    assert out.limit == 5 and out.offset == 3
+
+
+# ---- column pruning --------------------------------------------------------------
+
+
+def test_scan_projection_pruned(db):
+    p = plan_for(db, "select a from t1 where b > 1")
+    get = find_ops(p, L.LogicalGet)[0]
+    assert get.projection is not None
+    assert sorted(get.projection) == [0, 1]  # a, b only; c pruned
+
+
+def test_join_sides_pruned(db):
+    p = plan_for(db, "select t1.a from t1 inner join t2 on t1.b=t2.b")
+    gets = find_ops(p, L.LogicalGet)
+    assert sorted(gets[0].projection) == [0, 1]  # t1: a, b
+    assert gets[1].projection == [1]  # t2: b only
+
+
+def test_aggregate_child_pruned(db):
+    p = plan_for(db, "select sum(a) from t1 group by c")
+    get = find_ops(p, L.LogicalGet)[0]
+    assert sorted(get.projection) == [0, 2]  # a and c; b pruned
+
+
+# ---- combine operators ------------------------------------------------------------
+
+
+def test_collapse_projects(db):
+    p = plan_for(db, "select v + 1 from (select a + 1 as v from t1) q")
+    projs = [
+        pr
+        for pr in find_ops(p, L.LogicalProjection)
+        if not pr.passthrough
+    ]
+    assert len(projs) == 1
+    assert projs[0].exprs[0].name().count("+") == 2  # a + 1 + 1 merged
+
+
+def test_combine_filters(db):
+    p = plan_for(db, "select a from (select * from t1 where b > 1) q where a > 0 and c < 9")
+    filters = find_ops(p, L.LogicalFilter)
+    assert len(filters) == 1
+
+
+# ---- simplify casts ----------------------------------------------------------------
+
+
+def test_simplify_constant_cast(db):
+    from sqlrs_tpu.binder.expression import BoundConstant
+    p = plan_for(db, "select a from t1 where a > 1")
+    f = find_ops(p, L.LogicalFilter)[0]
+    # the literal 1 was cast(Integer) == column type -> folded to constant
+    comparison = f.predicate
+    assert isinstance(comparison.right, BoundConstant)
+
+
+# ---- results unchanged by optimization ------------------------------------------------
+
+
+def test_optimized_results_match(db):
+    db.run("insert into t1 values (1, 2, 3), (4, 5, 6), (7, 8, 9)")
+    db.run("insert into t2 values (1, 20, 30), (4, 50, 60)")
+    queries = [
+        "select a from t1 where b > 1 limit 2",
+        "select t1.a, t2.b from t1 inner join t2 on t1.a=t2.a where t1.c > 1",
+        "select sum(a) from t1 group by c",
+        "select t.a from (select * from t1 where a > 1) t where t.b > 7",
+    ]
+    for q in queries:
+        assert db.run_lines(q) == db.run_lines(q)  # deterministic
