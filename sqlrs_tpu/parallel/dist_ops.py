@@ -1,0 +1,232 @@
+"""Distributed operators: shuffle, join + group-by, sort over a device mesh.
+
+The DB-domain parallelism the reference lacks entirely (SURVEY.md §2.3),
+built as shard_map SPMD programs so XLA schedules the collectives:
+
+- partition_shuffle: repartition rows by key hash via `lax.all_to_all` with
+  fixed per-destination bucket capacity (static shapes; padding carries a
+  validity mask) — the exchange operator / "TP all-to-all" analogue.
+- dist_join_groupby_broadcast: fact⋈dim join + group-by-dim-row in ONE pass:
+  the dim side is replicated, each shard probes its fact rows against the
+  shared table and segment-sums partial aggregates by dim row id, and a
+  single psum combines partials. No key-based shuffle of the fact table ⇒
+  immune to zipf key skew (the north star's skew case), and the collective
+  payload is O(G), not O(N).
+- dist_join_groupby_shuffle: the general large-large path — both sides
+  repartitioned by key hash, local hash join + partial agg per shard.
+- dist_sort: sample sort — global splitters from a gathered sample, bucket
+  all-to-all, local sort per shard.
+
+All functions take (mesh, sharded arrays) and are jit-compilable end to end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from sqlrs_tpu.ops.hash_table import (
+    EMPTY,
+    build_join_table,
+    hash_keys,
+    next_pow2,
+    probe_counts,
+)
+
+
+def _axis_size(mesh, axis):
+    return mesh.shape[axis]
+
+
+# ---- exchange: repartition by key hash ------------------------------------------
+
+
+def partition_shuffle(mesh, keys, values, valid, bucket_capacity: int, axis="x"):
+    """Repartition (keys, values, valid) so rows land on device
+    hash(key) % n_dev. Per-destination buckets are padded to
+    `bucket_capacity` rows (static); overflow rows are dropped with a
+    returned overflow count so callers can size up and retry — the
+    fixed-capacity + bucketed-recompile strategy from SURVEY.md §7.
+    """
+    n_dev = _axis_size(mesh, axis)
+
+    def local(keys, values, valid):
+        n = keys.shape[0]
+        dest = (hash_keys(keys, 1 << 32) % n_dev).astype(jnp.int32)
+        dest = jnp.where(valid, dest, n_dev)  # invalid rows sort to the end
+        order = jnp.argsort(dest, stable=True)
+        k_s, v_s, d_s = keys[order], values[order], dest[order]
+        ok = d_s < n_dev
+        # position of each row within its destination bucket
+        one = ok.astype(jnp.int64)
+        counts = jnp.zeros((n_dev,), jnp.int64).at[jnp.where(ok, d_s, 0)].add(one)
+        starts = jnp.cumsum(counts) - counts
+        pos_in_bucket = jnp.arange(n, dtype=jnp.int64) - starts[jnp.clip(d_s, 0, n_dev - 1)]
+        in_cap = ok & (pos_in_bucket < bucket_capacity)
+        # scatter rows into (n_dev, bucket_capacity) send buffers
+        flat_idx = jnp.clip(d_s, 0, n_dev - 1) * bucket_capacity + pos_in_bucket
+        flat_idx = jnp.where(in_cap, flat_idx, n_dev * bucket_capacity)  # dropped
+        buf_k = jnp.full((n_dev * bucket_capacity + 1,), 0, keys.dtype).at[flat_idx].set(k_s)
+        buf_v = jnp.full((n_dev * bucket_capacity + 1,), 0, values.dtype).at[flat_idx].set(v_s)
+        buf_ok = jnp.zeros((n_dev * bucket_capacity + 1,), jnp.bool_).at[flat_idx].set(in_cap)
+        send_k = buf_k[:-1].reshape(n_dev, bucket_capacity)
+        send_v = buf_v[:-1].reshape(n_dev, bucket_capacity)
+        send_m = buf_ok[:-1].reshape(n_dev, bucket_capacity)
+        overflow = jnp.sum(ok & ~in_cap)
+        # exchange: row i of my buffers goes to device i
+        recv_k = jax.lax.all_to_all(send_k, axis, 0, 0, tiled=False)
+        recv_v = jax.lax.all_to_all(send_v, axis, 0, 0, tiled=False)
+        recv_m = jax.lax.all_to_all(send_m, axis, 0, 0, tiled=False)
+        return (
+            recv_k.reshape(-1),
+            recv_v.reshape(-1),
+            recv_m.reshape(-1),
+            overflow[None],
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )(keys, values, valid)
+
+
+# ---- fused distributed join + group-by --------------------------------------------
+
+
+def dist_join_groupby_broadcast(
+    mesh, fact_keys, fact_vals, dim_keys, n_groups: int, axis="x"
+):
+    """SELECT dim_row, sum(v), count(*) FROM fact JOIN dim USING (key)
+    GROUP BY dim_row — dim replicated, fact sharded.
+
+    Returns (sums[n_groups], counts[n_groups]) replicated. Group id == dim
+    row index (dim keys assumed unique — the fact→dimension join). One psum
+    of O(n_groups) is the only cross-device traffic.
+    """
+    capacity = next_pow2(max(2 * n_groups, 16))
+
+    def local(fk, fv, dk):
+        table, start, bcounts, order = build_join_table(dk, capacity)
+        found, counts = probe_counts(table, fk, bcounts, capacity)
+        matched = found >= 0
+        # dim keys unique -> bucket size 1 -> dim row = order[start[slot]]
+        slot = jnp.maximum(found, 0)
+        dim_row = order[jnp.clip(start[slot], 0, order.shape[0] - 1)]
+        gid = jnp.where(matched, dim_row, n_groups)  # misses -> overflow bin
+        sums = jnp.zeros((n_groups + 1,), fv.dtype).at[gid].add(
+            jnp.where(matched, fv, 0)
+        )
+        cnts = jnp.zeros((n_groups + 1,), jnp.int64).at[gid].add(
+            matched.astype(jnp.int64)
+        )
+        sums = jax.lax.psum(sums[:n_groups], axis)
+        cnts = jax.lax.psum(cnts[:n_groups], axis)
+        return sums, cnts
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+    )(fact_keys, fact_vals, dim_keys)
+
+
+def dist_join_groupby_shuffle(
+    mesh, fact_keys, fact_vals, dim_keys, n_groups: int, bucket_capacity: int, axis="x"
+):
+    """General large-large path: both sides repartitioned by key hash, then
+    per-shard hash join + partial aggregation; partials combined with psum.
+    Handles dim sides too large to replicate; skewed hot keys are bounded by
+    bucket_capacity (salted splitting is layered above by the planner)."""
+    n_dev = _axis_size(mesh, axis)
+
+    def _pad_to_mesh(x, fill):
+        n = x.shape[0]
+        pad = (-n) % n_dev
+        if pad == 0:
+            return x, jnp.ones((n,), jnp.bool_)
+        xp = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return xp, jnp.concatenate([jnp.ones((n,), jnp.bool_), jnp.zeros((pad,), jnp.bool_)])
+
+    dim_vals = jnp.arange(dim_keys.shape[0], dtype=jnp.int64)  # dim row ids
+    fact_keys, valid_f = _pad_to_mesh(fact_keys, 0)
+    fact_vals, _ = _pad_to_mesh(fact_vals, 0)
+    dim_keys, valid_d = _pad_to_mesh(dim_keys, 0)
+    dim_vals, _ = _pad_to_mesh(dim_vals, 0)
+    fk, fv, fm, _ = partition_shuffle(mesh, fact_keys, fact_vals, valid_f, bucket_capacity, axis)
+    dk, drow, dm, _ = partition_shuffle(mesh, dim_keys, dim_vals, valid_d, bucket_capacity, axis)
+    capacity = next_pow2(max(2 * bucket_capacity * n_dev, 16))
+
+    def local(fk, fv, fm, dk, drow, dm):
+        dk = jnp.where(dm, dk, EMPTY + 1)  # pad rows get a reserved key
+        table, start, bcounts, order = build_join_table(dk, capacity)
+        found, _ = probe_counts(table, jnp.where(fm, fk, EMPTY + 2), bcounts, capacity)
+        matched = (found >= 0) & fm
+        slot = jnp.maximum(found, 0)
+        dim_row = drow[order[jnp.clip(start[slot], 0, order.shape[0] - 1)]]
+        gid = jnp.where(matched, dim_row, n_groups)
+        sums = jnp.zeros((n_groups + 1,), fv.dtype).at[gid].add(jnp.where(matched, fv, 0))
+        cnts = jnp.zeros((n_groups + 1,), jnp.int64).at[gid].add(matched.astype(jnp.int64))
+        return jax.lax.psum(sums[:n_groups], axis), jax.lax.psum(cnts[:n_groups], axis)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=(P(), P()),
+    )(fk, fv, fm, dk, drow, dm)
+
+
+# ---- distributed sort ----------------------------------------------------------------
+
+
+def dist_sort(mesh, keys, bucket_capacity: int, axis="x"):
+    """Sample sort: splitters from an all-gathered per-shard sample; rows
+    all-to-all'd to their range owner; local sort per shard. Returns
+    (sorted_keys[shards, cap], valid mask) — shard i holds range bucket i,
+    so the concatenation of valid rows is globally sorted (the distributed
+    ORDER BY, SURVEY.md §2.3's CP-analogue)."""
+    n_dev = _axis_size(mesh, axis)
+    sample_per_shard = 64
+
+    def local(k):
+        n = k.shape[0]
+        stride = max(n // sample_per_shard, 1)
+        sample = jax.lax.all_gather(
+            jnp.sort(k[::stride][:sample_per_shard]), axis
+        ).reshape(-1)
+        sample = jnp.sort(sample)
+        m = sample.shape[0]
+        splitters = sample[jnp.arange(1, n_dev) * m // n_dev]
+        dest = jnp.searchsorted(splitters, k, side="right").astype(jnp.int32)
+        # bucket + exchange (same machinery as partition_shuffle, inline)
+        order = jnp.argsort(dest, stable=True)
+        k_s, d_s = k[order], dest[order]
+        one = jnp.ones((n,), jnp.int64)
+        counts = jnp.zeros((n_dev,), jnp.int64).at[d_s].add(one)
+        starts = jnp.cumsum(counts) - counts
+        pos = jnp.arange(n, dtype=jnp.int64) - starts[d_s]
+        in_cap = pos < bucket_capacity
+        flat = jnp.where(in_cap, d_s * bucket_capacity + pos, n_dev * bucket_capacity)
+        buf_k = jnp.zeros((n_dev * bucket_capacity + 1,), k.dtype).at[flat].set(k_s)
+        buf_m = jnp.zeros((n_dev * bucket_capacity + 1,), jnp.bool_).at[flat].set(in_cap)
+        recv_k = jax.lax.all_to_all(
+            buf_k[:-1].reshape(n_dev, bucket_capacity), axis, 0, 0
+        ).reshape(-1)
+        recv_m = jax.lax.all_to_all(
+            buf_m[:-1].reshape(n_dev, bucket_capacity), axis, 0, 0
+        ).reshape(-1)
+        big = jnp.iinfo(k.dtype).max
+        sort_k = jnp.sort(jnp.where(recv_m, recv_k, big))
+        return sort_k[None], jnp.sort(~recv_m)[None]  # valid rows first
+
+    ks, invalid = shard_map(
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=(P(axis), P(axis))
+    )(keys)
+    return ks, ~invalid

@@ -25,7 +25,7 @@ from sqlrs_tpu.functions.table import BUILTIN_TABLE_FUNCTIONS
 from sqlrs_tpu.parser import ast, parse
 from sqlrs_tpu.plan.logical import LogicalExplain, explain_tree as explain_logical
 from sqlrs_tpu.plan.physical import PhysicalPlanGenerator, explain_tree as explain_physical
-from sqlrs_tpu.storage.csv import CsvConfig, read_csv_file
+from sqlrs_tpu.storage.csv import CsvConfig, load_csv
 from sqlrs_tpu.storage.memory import DataTable
 from sqlrs_tpu.utils.render import batches_to_slt_lines
 
@@ -51,7 +51,7 @@ class Database:
         path = self._resolve_path(path)
         key = (os.path.abspath(path), delim, header)
         if key not in self._csv_cache:
-            self._csv_cache[key] = read_csv_file(
+            self._csv_cache[key] = load_csv(
                 path, CsvConfig(has_header=header, delimiter=delim)
             )
         return self._csv_cache[key]
@@ -59,7 +59,7 @@ class Database:
     def create_csv_table(self, name: str, path: str) -> None:
         """v1-style CSV-backed table (reference src/cli.rs `\\load csv` and the
         slt harness preload)."""
-        table = read_csv_file(path)
+        table = load_csv(path)
         self.catalog.create_table(
             name,
             [ColumnDefinition(n, t) for n, t in zip(table.names, table.types)],

@@ -59,6 +59,22 @@ def _infer_column_type(values: list[str]) -> LogicalType:
     return LogicalType.VARCHAR
 
 
+def load_csv(path: str, config: CsvConfig | None = None) -> DataTable:
+    """Preferred entry: native C++ parser (native/csv_loader.cpp) when built,
+    else the in-Python reference implementation below. Both produce identical
+    tables (tests/test_storage.py cross-checks)."""
+    from sqlrs_tpu.storage import native_loader
+
+    if native_loader.native_available():
+        try:
+            return native_loader.read_csv_native(path, config)
+        except StorageError:
+            raise
+        except Exception:
+            pass  # any binding-level surprise falls back to the Python path
+    return read_csv_file(path, config)
+
+
 def read_csv_file(path: str, config: CsvConfig | None = None) -> DataTable:
     config = config or CsvConfig()
     try:

@@ -1,0 +1,110 @@
+"""Distributed operator tests on the 8-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import sqlrs_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from sqlrs_tpu.parallel.dist_ops import (
+    dist_join_groupby_broadcast,
+    dist_join_groupby_shuffle,
+    dist_sort,
+    partition_shuffle,
+)
+from sqlrs_tpu.parallel.mesh import make_mesh, replicated, row_sharding
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def data(mesh):
+    rng = np.random.default_rng(0)
+    n, groups = 16_000, 64
+    gid = np.minimum(rng.zipf(1.3, n), groups).astype(np.int64) - 1
+    dim_keys = np.arange(groups, dtype=np.int64) * 7 + 3
+    fact_keys = dim_keys[gid]
+    fact_vals = rng.integers(0, 10, n).astype(np.int64)
+    exp_s = np.zeros(groups, np.int64)
+    exp_c = np.zeros(groups, np.int64)
+    np.add.at(exp_s, gid, fact_vals)
+    np.add.at(exp_c, gid, 1)
+    fk = jax.device_put(jnp.asarray(fact_keys), row_sharding(mesh))
+    fv = jax.device_put(jnp.asarray(fact_vals), row_sharding(mesh))
+    dk = jax.device_put(jnp.asarray(dim_keys), replicated(mesh))
+    return dict(
+        n=n, groups=groups, fk=fk, fv=fv, dk=dk, exp_s=exp_s, exp_c=exp_c,
+        fact_keys=fact_keys,
+    )
+
+
+def test_broadcast_join_groupby(mesh, data):
+    sums, counts = dist_join_groupby_broadcast(
+        mesh, data["fk"], data["fv"], data["dk"], data["groups"]
+    )
+    assert np.array_equal(np.asarray(sums), data["exp_s"])
+    assert np.array_equal(np.asarray(counts), data["exp_c"])
+
+
+def test_shuffle_join_groupby(mesh, data):
+    sums, counts = dist_join_groupby_shuffle(
+        mesh, data["fk"], data["fv"], data["dk"], data["groups"],
+        bucket_capacity=data["n"] // 2,
+    )
+    assert np.array_equal(np.asarray(sums), data["exp_s"])
+    assert np.array_equal(np.asarray(counts), data["exp_c"])
+
+
+def test_partition_shuffle_places_rows_by_hash(mesh, data):
+    from sqlrs_tpu.ops.hash_table import hash_keys
+
+    valid = jnp.ones((data["n"],), jnp.bool_)
+    k, v, m, overflow = partition_shuffle(
+        mesh, data["fk"], data["fv"], valid, bucket_capacity=data["n"] // 2
+    )
+    assert int(jnp.sum(overflow)) == 0
+    k_np, m_np = np.asarray(k), np.asarray(m)
+    n_dev = 8
+    per_dev = k_np.reshape(n_dev, -1)
+    per_dev_m = m_np.reshape(n_dev, -1)
+    dest = np.asarray(hash_keys(jnp.asarray(data["fact_keys"]), 1 << 32)) % n_dev
+    import collections
+
+    expected_per_dev = collections.Counter(dest.tolist())
+    for d in range(n_dev):
+        live_keys = per_dev[d][per_dev_m[d]]
+        assert len(live_keys) == expected_per_dev[d]
+        # every row landed on its hash-designated shard
+        got_dest = np.asarray(hash_keys(jnp.asarray(live_keys), 1 << 32)) % n_dev
+        assert np.all(got_dest == d)
+
+
+def test_dist_sort_globally_sorted(mesh, data):
+    ks, valid = dist_sort(mesh, data["fk"], bucket_capacity=data["n"])
+    ks = np.asarray(ks).reshape(-1)
+    valid = np.asarray(valid).reshape(-1)
+    got = ks[valid]
+    assert len(got) == data["n"]
+    assert np.array_equal(np.sort(got), np.sort(data["fact_keys"]))
+    assert np.all(np.diff(got) >= 0)
+
+
+def test_scaling_efficiency_shapes(mesh, data):
+    # the same program compiles at 2 and 8 devices (shape flexibility)
+    m2 = make_mesh(2)
+    fk = jax.device_put(jnp.asarray(data["fact_keys"]), row_sharding(m2))
+    fv2 = jax.device_put(
+        jnp.asarray(np.ones(data["n"], np.int64)), row_sharding(m2)
+    )
+    dk2 = jax.device_put(
+        jnp.asarray(np.arange(data["groups"], dtype=np.int64) * 7 + 3),
+        replicated(m2),
+    )
+    sums, counts = dist_join_groupby_broadcast(m2, fk, fv2, dk2, data["groups"])
+    assert int(jnp.sum(counts)) == data["n"]

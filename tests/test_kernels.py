@@ -1,0 +1,111 @@
+"""Hash-table kernel and fused-pipeline tests (numpy oracles)."""
+
+import numpy as np
+import pytest
+
+import sqlrs_tpu  # noqa: F401
+import jax.numpy as jnp
+
+from sqlrs_tpu.ops.hash_table import (
+    EMPTY,
+    build_table,
+    hash_group_aggregate,
+    hash_join_pairs,
+    next_pow2,
+)
+from sqlrs_tpu.ops.pipelines import make_join_groupby
+
+
+def test_build_table_assigns_unique_slots():
+    keys = jnp.asarray(np.array([5, 5, 9, 9, 9, 1, 2, 3], dtype=np.int64))
+    table, slot = build_table(keys, 16)
+    table, slot = np.asarray(table), np.asarray(slot)
+    # same key -> same slot; different keys -> different slots
+    by_key = {}
+    for k, s in zip(np.asarray(keys), slot):
+        by_key.setdefault(int(k), set()).add(int(s))
+    assert all(len(v) == 1 for v in by_key.values())
+    slots = {next(iter(v)) for v in by_key.values()}
+    assert len(slots) == len(by_key)
+    for k, v in by_key.items():
+        assert table[next(iter(v))] == k
+
+
+def test_hash_group_aggregate_matches_numpy():
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 517, size=20_000).astype(np.int64)
+    vals = rng.integers(-100, 100, size=20_000).astype(np.int64)
+    cap = next_pow2(2 * 517)
+    table, sums, counts, mins, maxs = hash_group_aggregate(
+        jnp.asarray(keys), jnp.asarray(vals), cap
+    )
+    table, sums, counts = np.asarray(table), np.asarray(sums), np.asarray(counts)
+    mins, maxs = np.asarray(mins), np.asarray(maxs)
+    live = table != np.int64(-(2**63))
+    import collections
+
+    es, ec = collections.defaultdict(int), collections.defaultdict(int)
+    emin, emax = {}, {}
+    for k, v in zip(keys, vals):
+        k = int(k)
+        es[k] += int(v)
+        ec[k] += 1
+        emin[k] = min(emin.get(k, 10**9), int(v))
+        emax[k] = max(emax.get(k, -(10**9)), int(v))
+    got = {
+        int(k): (int(s), int(c), int(mn), int(mx))
+        for k, s, c, mn, mx in zip(
+            table[live], sums[live], counts[live], mins[live], maxs[live]
+        )
+    }
+    assert set(got) == set(es)
+    for k in es:
+        assert got[k] == (es[k], ec[k], emin[k], emax[k])
+
+
+def test_hash_join_pairs_matches_numpy_and_order():
+    rng = np.random.default_rng(7)
+    bk = rng.integers(0, 300, size=2_000).astype(np.int64)
+    pk = rng.integers(0, 400, size=3_000).astype(np.int64)
+    br, pr, live, total = hash_join_pairs(jnp.asarray(bk), jnp.asarray(pk))
+    total = int(total)
+    br = np.asarray(br)[:total]
+    pr = np.asarray(pr)[:total]
+    from collections import defaultdict
+
+    bm = defaultdict(list)
+    for i, k in enumerate(bk):
+        bm[int(k)].append(i)
+    exp = [(i, j) for j, k in enumerate(pk) for i in bm.get(int(k), [])]
+    got = list(zip(br.tolist(), pr.tolist()))
+    assert sorted(got) == sorted(exp)
+    # probe-order emission (reference hash_join.rs:207-250)
+    assert all(got[i][1] <= got[i + 1][1] for i in range(len(got) - 1))
+
+
+def test_join_pairs_no_hash_collision_false_matches():
+    # keys engineered to collide in small tables: full-key re-check must
+    # reject them (fixes reference TODO hash_join.rs:221-224)
+    bk = jnp.asarray(np.array([0, 16, 32, 48], dtype=np.int64))
+    pk = jnp.asarray(np.array([64, 80, 0], dtype=np.int64))
+    br, pr, live, total = hash_join_pairs(bk, pk)
+    total = int(total)
+    assert total == 1
+    assert int(np.asarray(br)[0]) == 0 and int(np.asarray(pr)[0]) == 2
+
+
+def test_fused_join_groupby_pipeline():
+    rng = np.random.default_rng(3)
+    n, groups = 50_000, 128
+    gid = rng.integers(0, groups, n)
+    dim_keys = np.arange(groups, dtype=np.int64) * 13 + 5
+    fk = jnp.asarray(dim_keys[gid])
+    fv = jnp.asarray(rng.integers(0, 50, n).astype(np.int64))
+    fn = make_join_groupby(groups)
+    sums, counts = fn(fk, fv, jnp.asarray(dim_keys))
+    exp_s = np.zeros(groups, np.int64)
+    exp_c = np.zeros(groups, np.int64)
+    np.add.at(exp_s, gid, np.asarray(fv))
+    np.add.at(exp_c, gid, 1)
+    assert np.array_equal(np.asarray(sums), exp_s)
+    assert np.array_equal(np.asarray(counts), exp_c)
