@@ -54,7 +54,7 @@ def main() -> None:
     fact_vals = jnp.asarray(rng.integers(0, 100, n).astype(np.int64))
     dim_keys = jnp.asarray(dim_keys_np)
 
-    fn = make_join_groupby(groups)
+    fn = make_join_groupby(groups, strategy="sorted")
     sums, counts = fn(fact_keys, fact_vals, dim_keys)  # compile + warm
     sums.block_until_ready()
 

@@ -37,12 +37,18 @@ from sqlrs_tpu.types import LogicalType, numpy_dtype_for
 
 
 class Executor:
-    def __init__(self, db) -> None:
+    def __init__(self, db, profile=None) -> None:
         self.db = db
+        self.profile = profile  # QueryProfile | None
 
     def execute(self, op: P.PhysicalOperator) -> DeviceBatch:
         method = getattr(self, "_exec_" + type(op).__name__.removeprefix("Physical"))
-        return method(op)
+        if self.profile is None:
+            return method(op)
+        with self.profile.measure(op.explain_line()[:60]) as stats:
+            out = method(op)
+            stats.rows_out = out.num_rows
+        return out
 
     # ---- scans -------------------------------------------------------------
 

@@ -31,7 +31,7 @@ from sqlrs_tpu.utils.render import batches_to_slt_lines
 
 
 class Database:
-    def __init__(self, base_dir: str | None = None) -> None:
+    def __init__(self, base_dir: str | None = None, profile: bool = False) -> None:
         self.catalog = Catalog()
         for fn in BUILTIN_TABLE_FUNCTIONS:
             self.catalog.register_table_function(fn.name, fn)
@@ -39,6 +39,10 @@ class Database:
         # relative csv paths in SQL resolve against base_dir (the reference
         # resolves against its repo root when running the slt suite)
         self.base_dir = base_dir or os.getcwd()
+        from sqlrs_tpu.utils.profiling import profiling_enabled
+
+        self.profile_enabled = profile or profiling_enabled()
+        self.last_profile = None  # QueryProfile of the most recent statement
 
     # ---- storage helpers ------------------------------------------------------
 
@@ -79,6 +83,14 @@ class Database:
 
     # ---- query pipeline ----------------------------------------------------------
 
+    def connect(self):
+        """New ClientContext session object (reference
+        src/main_entry/client_context.rs:18) supporting prepared statements,
+        pending results, and interruption."""
+        from sqlrs_tpu.session.client_context import ClientContext
+
+        return ClientContext(self)
+
     def run(self, sql: str) -> list[DeviceBatch]:
         """Execute all statements; returns the last statement's batches."""
         stmts = parse(sql)
@@ -116,7 +128,14 @@ class Database:
             phys.plan_strings = dict(plan.plan_strings)
             phys.plan_strings["physical_plan"] = explain_physical(phys.children[0])
 
-        batch = Executor(self).execute(phys)
+        profile = None
+        if self.profile_enabled:
+            from sqlrs_tpu.utils.profiling import QueryProfile
+
+            profile = QueryProfile()
+        batch = Executor(self, profile=profile).execute(phys)
+        if profile is not None:
+            self.last_profile = profile
         return [batch] if len(batch.schema) > 0 else []
 
     def _optimize(self, plan):

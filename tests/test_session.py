@@ -1,0 +1,57 @@
+"""Session-layer tests: prepared statements, pending results, interrupt
+(reference src/main_entry behavior)."""
+
+import pytest
+
+import sqlrs_tpu
+from sqlrs_tpu.errors import ExecutorError
+
+
+@pytest.fixture()
+def db():
+    d = sqlrs_tpu.Database()
+    d.run("create table t(a int, b int); insert into t values (1,10),(2,20),(3,30)")
+    return d
+
+
+def test_query_roundtrip(db):
+    ctx = db.connect()
+    res = ctx.query("select a, b from t where a > 1")
+    assert res.names == ["a", "b"]
+    assert res.lines() == ["2 20", "3 30"]
+    assert res.row_count() == 2
+
+
+def test_prepared_statement_reexecution(db):
+    ctx = db.connect()
+    prep = ctx.prepare("select sum(b) from t")
+    r1 = ctx.execute_prepared(prep)
+    assert r1.lines() == ["60"]
+    db.run("insert into t values (4, 40)")
+    r2 = ctx.execute_prepared(prep)
+    assert r2.lines() == ["100"]  # plan re-runs over fresh data
+
+
+def test_pending_invalidated_by_next_query(db):
+    ctx = db.connect()
+    p1 = ctx.pending_query("select a from t")
+    p2 = ctx.pending_query("select b from t")
+    with pytest.raises(ExecutorError):
+        p1.execute()
+    assert p2.execute().row_count() == 3
+
+
+def test_interrupt(db):
+    ctx = db.connect()
+    p = ctx.pending_query("select a from t")
+    ctx.interrupt()
+    with pytest.raises(ExecutorError):
+        p.execute()
+
+
+def test_profile_report(db):
+    d2 = sqlrs_tpu.Database(profile=True)
+    d2.run("create table t(a int); insert into t values (1),(2)")
+    d2.run("select a from t where a > 1")
+    rep = d2.last_profile.report()
+    assert "TableScan" in rep and "Filter" in rep
