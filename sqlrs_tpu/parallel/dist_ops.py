@@ -183,6 +183,151 @@ def dist_join_groupby_shuffle(
     )(fk, fv, fm, dk, drow, dm)
 
 
+def dist_join_groupby_salted(
+    mesh,
+    fact_keys,
+    fact_vals,
+    dim_keys,
+    n_groups: int,
+    bucket_capacity: int,
+    hot_capacity: int = 1024,
+    hot_factor: float = 4.0,
+    axis="x",
+):
+    """Skew-aware shuffle join + group-by: salted-key splitting (the north
+    star's skew requirement; the reference's hash map simply degrades on hot
+    keys, SURVEY.md §2.3).
+
+    1. per-shard key histograms over hash buckets → psum → buckets with
+       > hot_factor × mean are "hot";
+    2. fact rows with hot keys are salted: destination spreads round-robin
+       over all shards instead of hash(key) % n_dev — no shard receives the
+       whole hot key;
+    3. dim rows in hot buckets are REPLICATED to every shard (all_gather of
+       the small hot subset, capacity `hot_capacity`), cold dim rows shuffle
+       normally;
+    4. local hash join + partial aggregate by dim row id; one psum combines.
+       Every fact row is processed exactly once, so replication cannot
+       double-count.
+    """
+    n_dev = _axis_size(mesh, axis)
+    n_buckets = 4096
+
+    def _pad(x, fill):
+        n = x.shape[0]
+        pad = (-n) % n_dev
+        if pad == 0:
+            return x, jnp.ones((n,), jnp.bool_)
+        return (
+            jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]),
+            jnp.concatenate([jnp.ones((n,), jnp.bool_), jnp.zeros((pad,), jnp.bool_)]),
+        )
+
+    dim_rows = jnp.arange(dim_keys.shape[0], dtype=jnp.int64)
+    fact_keys, fvalid = _pad(fact_keys, 0)
+    fact_vals, _ = _pad(fact_vals, 0)
+    dim_keys_p, dvalid = _pad(dim_keys, 0)
+    dim_rows_p, _ = _pad(dim_rows, 0)
+    capacity = next_pow2(max(2 * (bucket_capacity * n_dev + hot_capacity), 16))
+
+    def local(fk, fv, fm, dk, drow, dm):
+        n = fk.shape[0]
+        bucket_f = (hash_keys(fk, n_buckets)).astype(jnp.int32)
+        hist = jnp.zeros((n_buckets,), jnp.int64).at[bucket_f].add(
+            fm.astype(jnp.int64)
+        )
+        hist = jax.lax.psum(hist, axis)
+        total = jnp.sum(hist)
+        hot = hist > (hot_factor * total / n_buckets)
+
+        # ---- fact exchange: hot rows salted round-robin ------------------
+        base_dest = (hash_keys(fk, 1 << 32) % n_dev).astype(jnp.int32)
+        salt = (jnp.arange(n, dtype=jnp.int32) % n_dev)
+        dest = jnp.where(hot[bucket_f], salt, base_dest)
+        dest = jnp.where(fm, dest, n_dev)
+        (fk2, fv2), fm2 = _exchange_rows(
+            (fk, fv), dest, n_dev, bucket_capacity, axis
+        )
+
+        # ---- dim: cold rows shuffle, hot rows all_gather ------------------
+        bucket_d = (hash_keys(dk, n_buckets)).astype(jnp.int32)
+        d_hot = hot[bucket_d] & dm
+        dest_d = jnp.where(
+            dm & ~d_hot, (hash_keys(dk, 1 << 32) % n_dev).astype(jnp.int32), n_dev
+        )
+        dcold, dm_cold = _exchange_rows(
+            (dk, drow), dest_d, n_dev, bucket_capacity, axis
+        )[0:2]
+        dk_cold, drow_cold = dcold
+        # hot subset to fixed-capacity buffer, then all_gather
+        hot_order = jnp.argsort(jnp.logical_not(d_hot), stable=True)
+        hk = dk[hot_order][:hot_capacity]
+        hr = drow[hot_order][:hot_capacity]
+        hmask = d_hot[hot_order][:hot_capacity]
+        hk = jax.lax.all_gather(hk, axis).reshape(-1)
+        hr = jax.lax.all_gather(hr, axis).reshape(-1)
+        hmask = jax.lax.all_gather(hmask, axis).reshape(-1)
+
+        dk_all = jnp.concatenate([dk_cold, hk])
+        drow_all = jnp.concatenate([drow_cold, hr])
+        dm_all = jnp.concatenate([dm_cold, hmask])
+
+        # ---- local join + partial agg -------------------------------------
+        dk_masked = jnp.where(dm_all, dk_all, EMPTY + 1)
+        table, start, bcounts, order = build_join_table(dk_masked, capacity)
+        found, _ = probe_counts(table, jnp.where(fm2, fk2, EMPTY + 2), bcounts, capacity)
+        matched = (found >= 0) & fm2
+        slot = jnp.maximum(found, 0)
+        dim_row = drow_all[order[jnp.clip(start[slot], 0, order.shape[0] - 1)]]
+        gid = jnp.where(matched, dim_row, n_groups)
+        sums = jnp.zeros((n_groups + 1,), fv2.dtype).at[gid].add(
+            jnp.where(matched, fv2, 0)
+        )
+        cnts = jnp.zeros((n_groups + 1,), jnp.int64).at[gid].add(
+            matched.astype(jnp.int64)
+        )
+        return jax.lax.psum(sums[:n_groups], axis), jax.lax.psum(cnts[:n_groups], axis)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )(fact_keys, fact_vals, fvalid, dim_keys_p, dim_rows_p, dvalid)
+
+
+def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
+    """all_to_all N rows to `dest` shards (dest == n_dev drops the row);
+    returns (tuple of received arrays, received mask). Shared bucketing logic
+    for the shuffle operators."""
+    n = dest.shape[0]
+    order = jnp.argsort(dest, stable=True)
+    d_s = dest[order]
+    ok = d_s < n_dev
+    one = ok.astype(jnp.int64)
+    counts = jnp.zeros((n_dev,), jnp.int64).at[jnp.where(ok, d_s, 0)].add(one)
+    starts = jnp.cumsum(counts) - counts
+    pos = jnp.arange(n, dtype=jnp.int64) - starts[jnp.clip(d_s, 0, n_dev - 1)]
+    in_cap = ok & (pos < bucket_capacity)
+    flat = jnp.where(
+        in_cap, jnp.clip(d_s, 0, n_dev - 1) * bucket_capacity + pos,
+        n_dev * bucket_capacity,
+    )
+    received = []
+    for a in arrays:
+        a_s = a[order]
+        buf = jnp.zeros((n_dev * bucket_capacity + 1,), a.dtype).at[flat].set(a_s)
+        r = jax.lax.all_to_all(
+            buf[:-1].reshape(n_dev, bucket_capacity), axis, 0, 0
+        ).reshape(-1)
+        received.append(r)
+    mbuf = jnp.zeros((n_dev * bucket_capacity + 1,), jnp.bool_).at[flat].set(in_cap)
+    mask = jax.lax.all_to_all(
+        mbuf[:-1].reshape(n_dev, bucket_capacity), axis, 0, 0
+    ).reshape(-1)
+    return tuple(received), mask
+
+
 # ---- distributed sort ----------------------------------------------------------------
 
 

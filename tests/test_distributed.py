@@ -108,3 +108,30 @@ def test_scaling_efficiency_shapes(mesh, data):
     )
     sums, counts = dist_join_groupby_broadcast(m2, fk, fv2, dk2, data["groups"])
     assert int(jnp.sum(counts)) == data["n"]
+
+
+def test_salted_join_groupby_extreme_skew(mesh):
+    from sqlrs_tpu.parallel.dist_ops import dist_join_groupby_salted
+
+    rng = np.random.default_rng(1)
+    n, groups = 32_000, 64
+    # 80% of rows share one key: without salting a per-destination bucket
+    # would need ~0.8*n capacity; salting spreads it so n/4 suffices
+    gid = np.where(rng.random(n) < 0.8, 0, rng.integers(1, groups, n)).astype(
+        np.int64
+    )
+    dim_keys = np.arange(groups, dtype=np.int64) * 7 + 3
+    fk = jax.device_put(jnp.asarray(dim_keys[gid]), row_sharding(mesh))
+    fv = jax.device_put(
+        jnp.asarray(rng.integers(0, 10, n).astype(np.int64)), row_sharding(mesh)
+    )
+    dk = jax.device_put(jnp.asarray(dim_keys), replicated(mesh))
+    exp_s = np.zeros(groups, np.int64)
+    exp_c = np.zeros(groups, np.int64)
+    np.add.at(exp_s, gid, np.asarray(fv))
+    np.add.at(exp_c, gid, 1)
+    sums, cnts = dist_join_groupby_salted(
+        mesh, fk, fv, dk, groups, bucket_capacity=n // 4, hot_capacity=64
+    )
+    assert np.array_equal(np.asarray(sums), exp_s)
+    assert np.array_equal(np.asarray(cnts), exp_c)
