@@ -397,9 +397,67 @@ class Binder:
             return BoundCast(child, e.type)
         if isinstance(e, ast.ScalarSubquery):
             return self._bind_scalar_subquery(e, state)
+        if isinstance(e, ast.Between):
+            # x BETWEEN a AND b -> x >= a AND x <= b
+            x = self.bind_expr(e.expr, state)
+            lo = _bind_comparison(">=", x, self.bind_expr(e.low, state))
+            hi = _bind_comparison("<=", x, self.bind_expr(e.high, state))
+            out: BoundExpr = BoundConjunction("AND", (lo, hi))
+            return BoundNot(out) if e.negated else out
+        if isinstance(e, ast.InList):
+            x = self.bind_expr(e.expr, state)
+            eqs = tuple(
+                _bind_comparison("=", x, self.bind_expr(v, state)) for v in e.values
+            )
+            out = eqs[0] if len(eqs) == 1 else BoundConjunction("OR", eqs)
+            return BoundNot(out) if e.negated else out
+        if isinstance(e, ast.Like):
+            x = self.bind_expr(e.expr, state)
+            pat = self.bind_expr(e.pattern, state)
+            if x.return_type() not in (LogicalType.VARCHAR, LogicalType.SQLNULL):
+                raise BinderError("LIKE requires a varchar operand")
+            if not isinstance(pat, BoundConstant) or pat.value.type != LogicalType.VARCHAR:
+                raise BinderError("LIKE pattern must be a string constant")
+            out = BoundFunction("like", "like", (x, pat), LogicalType.BOOLEAN)
+            return BoundNot(out) if e.negated else out
+        if isinstance(e, ast.IsNull):
+            from sqlrs_tpu.binder.expression import BoundIsNull
+
+            return BoundIsNull(self.bind_expr(e.expr, state), e.negated)
+        if isinstance(e, ast.Case):
+            return self._bind_case(e, state)
+        if isinstance(e, ast.Extract):
+            x = self.bind_expr(e.expr, state)
+            if x.return_type() not in (LogicalType.DATE, LogicalType.SQLNULL):
+                raise BinderError("EXTRACT requires a date operand")
+            return BoundFunction(
+                "extract", f"extract_{e.field_name.lower()}", (x,), LogicalType.INTEGER
+            )
         if isinstance(e, ast.Star):
             raise BinderError("* is only allowed in the SELECT list or count(*)")
         raise BinderError(f"unsupported expression {type(e).__name__}")
+
+    def _bind_case(self, e: ast.Case, state: _ExprState) -> BoundExpr:
+        from sqlrs_tpu.binder.expression import BoundCase
+
+        conditions = tuple(_to_boolean(self.bind_expr(c, state)) for c in e.conditions)
+        results = [self.bind_expr(r, state) for r in e.results]
+        else_r = (
+            self.bind_expr(e.else_result, state)
+            if e.else_result is not None
+            else BoundConstant(ScalarValue.null())
+        )
+        results.append(else_r)
+        common = LogicalType.SQLNULL
+        try:
+            for r in results:
+                common = max_logical_type(common, r.return_type())
+        except TypeError_ as ex:
+            raise BinderError(str(ex))
+        if common == LogicalType.SQLNULL:
+            common = LogicalType.INTEGER
+        results = tuple(_cast_if_needed(r, common) for r in results)
+        return BoundCase(conditions, results, common)
 
     def _bind_ident(self, e: ast.Ident, state: _ExprState) -> BoundExpr:
         if len(e.parts) == 1:

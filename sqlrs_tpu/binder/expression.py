@@ -176,6 +176,44 @@ class BoundNot(BoundExpr):
 
 
 @dataclass(frozen=True)
+class BoundIsNull(BoundExpr):
+    child: BoundExpr
+    negated: bool = False
+
+    def return_type(self) -> LogicalType:
+        return LogicalType.BOOLEAN
+
+    def name(self) -> str:
+        return f"{self.child.name()} IS {'NOT ' if self.negated else ''}NULL"
+
+    def children(self):
+        return (self.child,)
+
+    def with_children(self, children):
+        return BoundIsNull(children[0], self.negated)
+
+
+@dataclass(frozen=True)
+class BoundCase(BoundExpr):
+    conditions: tuple[BoundExpr, ...]
+    results: tuple[BoundExpr, ...]  # len == len(conditions) + 1 (else last)
+    type: LogicalType = LogicalType.SQLNULL
+
+    def return_type(self) -> LogicalType:
+        return self.type
+
+    def name(self) -> str:
+        return "CASE"
+
+    def children(self):
+        return self.conditions + self.results
+
+    def with_children(self, children):
+        k = len(self.conditions)
+        return BoundCase(tuple(children[:k]), tuple(children[k:]), self.type)
+
+
+@dataclass(frozen=True)
 class BoundAggregate(BoundExpr):
     """sum/count/min/max/avg(arg), count(*) when arg is None; distinct flag
     per reference src/binder/expression/agg_func.rs:37."""

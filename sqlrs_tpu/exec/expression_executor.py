@@ -47,6 +47,14 @@ def execute_expr(expr: BoundExpr, batch: DeviceBatch) -> Column:
         return ew.logical_not(execute_expr(expr.child, batch))
     if isinstance(expr, BoundFunction):
         return _execute_function(expr, batch)
+    from sqlrs_tpu.binder.expression import BoundCase, BoundIsNull
+
+    if isinstance(expr, BoundIsNull):
+        return ew.is_null(execute_expr(expr.child, batch), expr.negated)
+    if isinstance(expr, BoundCase):
+        conds = [execute_expr(c, batch) for c in expr.conditions]
+        results = [execute_expr(r, batch) for r in expr.results]
+        return ew.case_when(conds, results, expr.type)
     raise ExecutorError(f"cannot execute expression {type(expr).__name__}")
 
 
@@ -62,6 +70,13 @@ def _execute_function(expr: BoundFunction, batch: DeviceBatch) -> Column:
         interval = _constant_interval(expr.args[1])
         sign = 1 if expr.op == "date+" else -1
         return ew.date_add_interval(dates, interval, sign)
+    if expr.op == "like":
+        col = execute_expr(expr.args[0], batch)
+        pattern = expr.args[1]
+        return ew.like_match(col, pattern.value.value)
+    if expr.op.startswith("extract_"):
+        col = execute_expr(expr.args[0], batch)
+        return ew.extract_date_field(col, expr.op.removeprefix("extract_"))
     raise ExecutorError(f"unknown function kernel {expr.op}")
 
 

@@ -238,6 +238,71 @@ def date_add_interval(dates: Column, interval: Interval, sign: int) -> Column:
     return Column(LogicalType.DATE, z.astype(jnp.int32), dates.valid)
 
 
+# ---- LIKE ---------------------------------------------------------------------
+
+
+def like_match(col: Column, pattern: str, negated: bool = False) -> Column:
+    """SQL LIKE on dictionary-encoded strings: the pattern is evaluated once
+    per DISTINCT string (host regex over the dictionary), then mapped onto
+    the column codes with a single device gather — O(D) pattern work for any
+    column length."""
+    import re as _re
+
+    from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+
+    rx = _re.compile(
+        "^"
+        + "".join(
+            ".*" if ch == "%" else "." if ch == "_" else _re.escape(ch)
+            for ch in pattern
+        )
+        + "$",
+        _re.DOTALL,
+    )
+    d = GLOBAL_STRINGS
+    match_table = np.fromiter(
+        (bool(rx.match(d.lookup(i))) for i in range(len(d))),
+        dtype=np.bool_,
+        count=len(d),
+    )
+    if negated:
+        match_table = ~match_table
+    if len(match_table) == 0:
+        return Column(LogicalType.BOOLEAN, jnp.zeros(len(col), jnp.bool_), col.valid)
+    table = jnp.asarray(match_table)
+    codes = jnp.clip(col.data, 0, len(match_table) - 1)
+    return Column(LogicalType.BOOLEAN, table[codes], col.valid)
+
+
+# ---- EXTRACT -------------------------------------------------------------------
+
+
+def extract_date_field(col: Column, field: str) -> Column:
+    y, m, d = _civil_from_days_vec(col.data.astype(jnp.int64))
+    out = {"year": y, "month": m, "day": d}[field]
+    return Column(LogicalType.INTEGER, out.astype(jnp.int32), col.valid)
+
+
+# ---- IS NULL / CASE --------------------------------------------------------------
+
+
+def is_null(col: Column, negated: bool = False) -> Column:
+    data = col.valid if negated else jnp.logical_not(col.valid)
+    return Column(LogicalType.BOOLEAN, data, jnp.ones(len(col), jnp.bool_))
+
+
+def case_when(conditions: list[Column], results: list[Column], t: LogicalType) -> Column:
+    """Nested where over (condition, result) pairs; last result is ELSE.
+    A NULL condition counts as not-matched (SQL CASE semantics)."""
+    out = results[-1]
+    data, valid = out.data, out.valid
+    for cond, res in zip(reversed(conditions), reversed(results[:-1])):
+        fire = jnp.logical_and(cond.data, cond.valid)
+        data = jnp.where(fire, res.data, data)
+        valid = jnp.where(fire, res.valid, valid)
+    return Column(t, data, valid)
+
+
 # ---- filter/selection helpers ------------------------------------------------
 
 

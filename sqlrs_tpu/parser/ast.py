@@ -80,6 +80,48 @@ class Cast(Expr):
 
 
 @dataclass
+class Between(Expr):
+    expr: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class InList(Expr):
+    expr: Expr
+    values: list[Expr] = field(default_factory=list)
+    negated: bool = False
+
+
+@dataclass
+class Like(Expr):
+    expr: Expr
+    pattern: Expr
+    negated: bool = False
+
+
+@dataclass
+class IsNull(Expr):
+    expr: Expr
+    negated: bool = False  # IS NOT NULL
+
+
+@dataclass
+class Case(Expr):
+    # CASE [operand] WHEN c THEN r ... [ELSE e] END
+    conditions: list[Expr] = field(default_factory=list)
+    results: list[Expr] = field(default_factory=list)
+    else_result: Optional[Expr] = None
+
+
+@dataclass
+class Extract(Expr):
+    field_name: str  # YEAR | MONTH | DAY
+    expr: Expr = None
+
+
+@dataclass
 class ScalarSubquery(Expr):
     query: "SelectStmt"
 

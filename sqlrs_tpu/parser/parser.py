@@ -376,14 +376,51 @@ class _Parser:
         left = self.parse_prefix()
         while True:
             t = self.peek()
+            # postfix/special predicates bind at comparison precedence
+            if _PREC_CMP >= min_prec:
+                negated = False
+                ahead = 0
+                if t.is_kw("NOT") and self.peek(1).kind == "KEYWORD" and self.peek(
+                    1
+                ).value in ("BETWEEN", "IN", "LIKE"):
+                    negated = True
+                    ahead = 1
+                nxt = self.peek(ahead)
+                if nxt.is_kw("BETWEEN"):
+                    for _ in range(ahead + 1):
+                        self.advance()
+                    low = self.parse_expr(_PREC_ADD)
+                    self.expect_kw("AND")
+                    high = self.parse_expr(_PREC_ADD)
+                    left = ast.Between(left, low, high, negated)
+                    continue
+                if nxt.is_kw("IN"):
+                    for _ in range(ahead + 1):
+                        self.advance()
+                    self.expect_punct("(")
+                    vals = [self.parse_expr()]
+                    while self.eat_punct(","):
+                        vals.append(self.parse_expr())
+                    self.expect_punct(")")
+                    left = ast.InList(left, vals, negated)
+                    continue
+                if nxt.is_kw("LIKE"):
+                    for _ in range(ahead + 1):
+                        self.advance()
+                    pattern = self.parse_expr(_PREC_ADD)
+                    left = ast.Like(left, pattern, negated)
+                    continue
+                if t.is_kw("IS"):
+                    self.advance()
+                    negated = self.eat_kw("NOT")
+                    self.expect_kw("NULL")
+                    left = ast.IsNull(left, negated)
+                    continue
             prec, op = self._infix_prec(t)
             if op is None or prec < min_prec:
                 return left
             self.advance()
-            if op in ("AND", "OR"):
-                right = self.parse_expr(prec + 1)
-            else:
-                right = self.parse_expr(prec + 1)
+            right = self.parse_expr(prec + 1)
             if op == "<>":
                 op = "!="
             left = ast.BinaryOp(op, left, right)
@@ -443,6 +480,38 @@ class _Parser:
             if unit not in ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND"):
                 raise ParserError(f"unsupported interval unit {unit_tok.value!r}")
             return ast.IntervalLiteral(mag.value, unit)
+        if t.is_kw("CASE"):
+            self.advance()
+            operand: Optional[ast.Expr] = None
+            if not self.peek_kw("WHEN"):
+                operand = self.parse_expr()
+            conditions: list[ast.Expr] = []
+            results: list[ast.Expr] = []
+            while self.eat_kw("WHEN"):
+                c = self.parse_expr()
+                if operand is not None:
+                    c = ast.BinaryOp("=", operand, c)
+                self.expect_kw("THEN")
+                conditions.append(c)
+                results.append(self.parse_expr())
+            else_result = self.parse_expr() if self.eat_kw("ELSE") else None
+            self.expect_kw("END")
+            if not conditions:
+                raise ParserError("CASE requires at least one WHEN clause")
+            return ast.Case(conditions, results, else_result)
+        if t.is_kw("EXTRACT"):
+            self.advance()
+            self.expect_punct("(")
+            field_tok = self.advance()
+            field = field_tok.value.upper()
+            if field not in ("YEAR", "MONTH", "DAY"):
+                raise ParserError(f"unsupported EXTRACT field {field_tok.value!r}")
+            from_tok = self.advance()
+            if not from_tok.is_kw("FROM"):
+                raise ParserError("EXTRACT expects FROM")
+            e = self.parse_expr()
+            self.expect_punct(")")
+            return ast.Extract(field, e)
         if t.is_kw("CAST"):
             self.advance()
             self.expect_punct("(")

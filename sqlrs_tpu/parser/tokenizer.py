@@ -19,7 +19,7 @@ KEYWORDS = {
     "SHOW", "TABLES", "DESCRIBE", "DESC_TABLE", "CAST", "DATE", "INTERVAL",
     "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "UNSIGNED",
     "DELIMITER", "HEADER", "IS", "IN", "EXISTS", "BETWEEN", "LIKE", "CASE",
-    "WHEN", "THEN", "ELSE", "END", "UNION", "ALL",
+    "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "EXTRACT",
 }
 
 MULTI_OPS = ["<>", "!=", ">=", "<=", "=>", "||"]
