@@ -749,32 +749,27 @@ def _bind_comparison(op: str, left: BoundExpr, right: BoundExpr) -> BoundCompari
 
 
 def _bind_arithmetic(op: str, left: BoundExpr, right: BoundExpr) -> BoundExpr:
+    """Overload resolution through the scalar function registry (reference
+    src/planner_v2/binder/function_binder.rs:11-125; the registry mirrors
+    src/function/scalar/arithmetic_function.rs's overload sets)."""
+    from sqlrs_tpu.functions.registry import BUILTIN_SCALAR_FUNCTIONS, resolve_overload
+
+    name = {"+": "add", "-": "subtract", "*": "multiply", "/": "divide", "%": "mod"}[op]
     lt, rt = left.return_type(), right.return_type()
-    # date ± interval overloads (reference
-    # src/function/scalar/arithmetic_function.rs:63-120)
-    if op == "+" and lt == LogicalType.DATE and rt == LogicalType.INTERVAL:
-        return BoundFunction("date_add", "date+", (left, right), LogicalType.DATE)
-    if op == "+" and lt == LogicalType.INTERVAL and rt == LogicalType.DATE:
-        return BoundFunction("date_add", "date+", (right, left), LogicalType.DATE)
-    if op == "-" and lt == LogicalType.DATE and rt == LogicalType.INTERVAL:
-        return BoundFunction("date_sub", "date-", (left, right), LogicalType.DATE)
-    ok = (lt.is_numeric() or lt == LogicalType.SQLNULL) and (
-        rt.is_numeric() or rt == LogicalType.SQLNULL
-    )
-    if not ok:
-        raise BinderError(f"cannot apply {op} to types {lt} and {rt}")
-    try:
-        common = max_logical_type(lt, rt)
-    except TypeError_ as e:
-        raise BinderError(str(e))
-    if common == LogicalType.SQLNULL:
-        common = LogicalType.INTEGER
-    return BoundFunction(
-        {"+": "add", "-": "subtract", "*": "multiply", "/": "divide", "%": "mod"}[op],
-        op,
-        (_cast_if_needed(left, common), _cast_if_needed(right, common)),
-        common,
-    )
+    if lt == LogicalType.SQLNULL and rt == LogicalType.SQLNULL:
+        lt = rt = LogicalType.INTEGER  # NULL+NULL types as integer
+    ov = resolve_overload(BUILTIN_SCALAR_FUNCTIONS[name], [lt, rt])
+    kernel = ov.kernel
+    args = (left, right)
+    arg_types = ov.arg_types
+    if kernel == "date+swap":  # interval + date normalizes to date + interval
+        kernel = "date+"
+        args = (right, left)
+        arg_types = (ov.arg_types[1], ov.arg_types[0])
+    args = tuple(_cast_if_needed(a, t) for a, t in zip(args, arg_types))
+    if kernel in ("+", "-", "*", "/", "%"):
+        kernel = op  # numeric kernels dispatch on the operator symbol
+    return BoundFunction(name, kernel, args, ov.return_type)
 
 
 def _flatten_and(e: BoundExpr) -> list[BoundExpr]:
