@@ -112,6 +112,18 @@ class Executor:
 
     def _aggregate(self, op, groups, aggs, child: DeviceBatch) -> DeviceBatch:
         n = child.num_rows
+        if groups and not any(a.distinct for a in aggs):
+            # sorted-run fast path: one variadic sort, no N-sized scatters
+            # (ops/grouped_agg.py; DISTINCT aggs use the legacy dedup path)
+            from sqlrs_tpu.ops.grouped_agg import sorted_grouped_aggregate
+
+            key_cols = [execute_expr(g, child) for g in groups]
+            specs = []
+            for a in aggs:
+                col = execute_expr(a.arg, child) if a.arg is not None else None
+                specs.append((a.function_name, col, a.return_type()))
+            gcols, acols, n_groups = sorted_grouped_aggregate(key_cols, specs)
+            return DeviceBatch(_schema(op), gcols + acols, n_groups)
         if groups:
             key_cols = [execute_expr(g, child) for g in groups]
             gid, n_groups = group_ids(key_cols)

@@ -1,0 +1,137 @@
+"""Sorted-run grouped aggregation vs the legacy segment path: randomized
+differential testing across types, NULL keys, NULL values, and group counts."""
+
+import numpy as np
+import pytest
+
+import sqlrs_tpu  # noqa: F401
+import jax.numpy as jnp
+
+from sqlrs_tpu.data import Column
+from sqlrs_tpu.ops.grouped_agg import sorted_grouped_aggregate
+from sqlrs_tpu.types import LogicalType as LT, ScalarValue
+
+
+def make_col(t, values):
+    return Column.from_scalars(t, [ScalarValue(t, v) for v in values])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("nkeys", [1, 2])
+def test_differential_vs_legacy(seed, nkeys):
+    import jax
+
+    from sqlrs_tpu.ops.grouping import (
+        group_ids,
+        seg_count_valid,
+        seg_max,
+        seg_min,
+        seg_sum,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    keys = []
+    for _ in range(nkeys):
+        vals = [
+            None if rng.random() < 0.07 else int(rng.integers(0, 40))
+            for _ in range(n)
+        ]
+        keys.append(make_col(LT.BIGINT, vals))
+    vcol = make_col(
+        LT.BIGINT,
+        [None if rng.random() < 0.1 else int(rng.integers(-50, 50)) for _ in range(n)],
+    )
+    specs = [
+        ("count", None, LT.BIGINT),
+        ("count", vcol, LT.BIGINT),
+        ("sum", vcol, LT.BIGINT),
+        ("min", vcol, LT.BIGINT),
+        ("max", vcol, LT.BIGINT),
+        ("avg", vcol, LT.DOUBLE),
+    ]
+    gcols, acols, n_groups = sorted_grouped_aggregate(keys, specs)
+
+    # legacy oracle
+    gid, n_groups2 = group_ids(keys)
+    assert n_groups == n_groups2
+    rep = jax.ops.segment_min(
+        jnp.arange(n, dtype=jnp.int64), gid, num_segments=n_groups
+    )
+    legacy_keys = [c.take(rep) for c in keys]
+    for got, exp in zip(gcols, legacy_keys):
+        assert got.to_pylist() == exp.to_pylist()
+
+    counts_star = jax.ops.segment_sum(
+        jnp.ones(n, jnp.int64), gid, num_segments=n_groups
+    )
+    assert acols[0].to_pylist() == [int(x) for x in np.asarray(counts_star)]
+    cv = seg_count_valid(vcol.valid, gid, n_groups)
+    assert acols[1].to_pylist() == [int(x) for x in np.asarray(cv)]
+    s = seg_sum(vcol.data, vcol.valid, gid, n_groups)
+    exp_sum = [
+        int(x) if c > 0 else None for x, c in zip(np.asarray(s), np.asarray(cv))
+    ]
+    assert acols[2].to_pylist() == exp_sum
+    mn = seg_min(vcol.data, vcol.valid, gid, n_groups, np.iinfo(np.int64).max)
+    exp_min = [
+        int(x) if c > 0 else None for x, c in zip(np.asarray(mn), np.asarray(cv))
+    ]
+    assert acols[3].to_pylist() == exp_min
+    mx = seg_max(vcol.data, vcol.valid, gid, n_groups, np.iinfo(np.int64).min)
+    exp_max = [
+        int(x) if c > 0 else None for x, c in zip(np.asarray(mx), np.asarray(cv))
+    ]
+    assert acols[4].to_pylist() == exp_max
+
+
+def test_varchar_keys_and_minmax():
+    rng = np.random.default_rng(7)
+    n = 2000
+    words = ["alpha", "beta", "gamma", "", "delta", None]
+    kvals = [words[rng.integers(0, len(words))] for _ in range(n)]
+    svals = [
+        None if rng.random() < 0.2 else words[rng.integers(0, 5)] for _ in range(n)
+    ]
+    kcol = make_col(LT.VARCHAR, kvals)
+    scol = make_col(LT.VARCHAR, svals)
+    gcols, acols, n_groups = sorted_grouped_aggregate(
+        [kcol], [("min", scol, LT.VARCHAR), ("max", scol, LT.VARCHAR), ("count", None, LT.BIGINT)]
+    )
+    got_keys = gcols[0].to_pylist()
+    # first-appearance order oracle
+    seen, order = set(), []
+    for v in kvals:
+        if v not in seen:
+            seen.add(v)
+            order.append(v)
+    assert got_keys == order
+    import collections
+
+    per = collections.defaultdict(list)
+    cnt = collections.Counter()
+    for k, s in zip(kvals, svals):
+        cnt[k] += 1
+        if s is not None:
+            per[k].append(s)
+    for k, mn, mx, c in zip(got_keys, acols[0].to_pylist(), acols[1].to_pylist(), acols[2].to_pylist()):
+        exp_mn = min(per[k]) if per[k] else None
+        exp_mx = max(per[k]) if per[k] else None
+        assert (mn, mx, c) == (exp_mn, exp_mx, cnt[k]), k
+
+
+def test_empty_input():
+    k = make_col(LT.BIGINT, [])
+    g, a, n = sorted_grouped_aggregate([k], [("count", None, LT.BIGINT)])
+    assert n == 0 and len(g[0]) == 0 and len(a[0]) == 0
+
+
+def test_single_group():
+    k = make_col(LT.BIGINT, [5] * 100)
+    v = make_col(LT.BIGINT, list(range(100)))
+    g, a, n = sorted_grouped_aggregate(
+        [k], [("sum", v, LT.BIGINT), ("min", v, LT.BIGINT), ("max", v, LT.BIGINT)]
+    )
+    assert n == 1
+    assert a[0].to_pylist() == [4950]
+    assert a[1].to_pylist() == [0] and a[2].to_pylist() == [99]
