@@ -24,9 +24,23 @@ src/main_entry/client_context.rs:34):
 """
 
 # SQL needs 64-bit ints (BIGINT, SUM results) — enable x64 before any jax use.
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: plan shapes recompile only once per machine,
+# not once per process (first compile of a novel plan shape costs seconds).
+_cache_dir = _os.environ.get(
+    "SQLRS_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/sqlrs_tpu_xla")
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 from sqlrs_tpu.errors import (  # noqa: E402
     BinderError,
