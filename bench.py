@@ -73,7 +73,10 @@ def main() -> None:
     fact_vals = jnp.asarray(fact_vals_np)
     dim_keys = jnp.asarray(dim_keys_np)
 
-    fn = make_join_groupby(groups, strategy="sorted")
+    # packed strategy: values fit in 7 bits and keys in 56, so key+value sort
+    # as ONE int64 operand (half the sort traffic; ops/pipelines.py)
+    assert int(fact_vals_np.max()) < (1 << 7) and int(fact_keys_np.max()) < (1 << 56)
+    fn = make_join_groupby(groups, strategy="sorted_packed")
     sums, counts = fn(fact_keys, fact_vals, dim_keys)  # compile + warm
     sums.block_until_ready()
 
@@ -112,7 +115,7 @@ def main() -> None:
                         rows_per_sec / roofline_rows, 5
                     ),
                     "device": jax.devices()[0].device_kind,
-                    "algorithm": "sort-merge join+group-by (ops/pipelines.py)",
+                    "algorithm": "packed sort-merge join+group-by (ops/pipelines.py)",
                 },
             }
         )

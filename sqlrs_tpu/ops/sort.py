@@ -45,22 +45,27 @@ def orderable_key(col: Column):
 
 
 def _directed_key(col: Column, asc: bool):
+    """Encode so an ASCENDING sort realizes the requested direction with
+    NULLs first: nulls map to the minimum sentinel, descending keys negate."""
     key, valid = orderable_key(col)
+    if not asc:
+        key = -key
     if jnp.issubdtype(key.dtype, jnp.floating):
-        null_val = -jnp.inf if asc else jnp.inf
+        null_val = -jnp.inf
     else:
-        lo, hi = np.iinfo(np.int64).min, np.iinfo(np.int64).max
-        null_val = lo if asc else hi
+        null_val = np.iinfo(np.int64).min
     return jnp.where(valid, key, null_val)
 
 
 def sort_indices(items: list[tuple[Column, bool]]):
     """Permutation sorting rows by the given (column, ascending) keys;
-    stable, NULLs first. Runs entirely on device."""
+    stable, NULLs first. ONE variadic lax.sort carrying the row index as
+    payload — no per-key argsort/gather passes (TPU gathers are slow,
+    CLAUDE.md measurements)."""
+    import jax
+
     n = len(items[0][0])
-    idx = jnp.arange(n, dtype=jnp.int64)
-    for col, asc in reversed(items):
-        k = _directed_key(col, asc)[idx]
-        order = jnp.argsort(k, stable=True, descending=not asc)
-        idx = idx[order]
-    return idx
+    ops = [_directed_key(col, asc) for col, asc in items]
+    ops.append(jnp.arange(n, dtype=jnp.int64))
+    out = jax.lax.sort(tuple(ops), num_keys=len(items), is_stable=True)
+    return out[-1]

@@ -109,3 +109,19 @@ def test_fused_join_groupby_pipeline():
     np.add.at(exp_c, gid, 1)
     assert np.array_equal(np.asarray(sums), exp_s)
     assert np.array_equal(np.asarray(counts), exp_c)
+
+
+def test_packed_pipeline_matches_plain():
+    from sqlrs_tpu.ops.pipelines import make_join_groupby
+
+    rng = np.random.default_rng(9)
+    n, groups = 60_000, 300
+    gid = rng.integers(0, groups, n)
+    dim_keys = np.arange(groups, dtype=np.int64) * 977 + 11
+    fk = jnp.asarray(dim_keys[gid])
+    fv = jnp.asarray(rng.integers(0, 128, n).astype(np.int64))
+    dk = jnp.asarray(dim_keys)
+    s1, c1 = make_join_groupby(groups, strategy="sorted")(fk, fv, dk)
+    s2, c2 = make_join_groupby(groups, strategy="sorted_packed")(fk, fv, dk, val_bits=8)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
