@@ -296,6 +296,91 @@ def dist_join_groupby_salted(
     )(fact_keys, fact_vals, fvalid, dim_keys_p, dim_rows_p, dvalid)
 
 
+def dist_join_groupby_ring(mesh, fact_keys, fact_vals, dim_keys, n_groups: int, axis="x"):
+    """Ring join + group-by: the pipeline-parallel / overlapped-communication
+    path (SURVEY.md §2.3 "pipeline parallelism"; the reference has no
+    parallelism at all — single tokio pull chain, src/executor/mod.rs:34).
+
+    Both sides stay sharded (fact rows and dim rows each P(axis)); no key
+    shuffle ever happens. Over n_dev ring steps, each shard probes its
+    resident fact rows against the dim chunk it currently holds while the
+    chunk for step s+1 is already in flight via `lax.ppermute` — the permute
+    of the next chunk has no data dependence on the current probe, so XLA's
+    latency-hiding scheduler overlaps communication with compute (the same
+    double-buffering structure as ring attention / rotated all-gather
+    matmuls). Memory per shard is O(N/p + G/p + G); collective payload is
+    the dim table once around the ring plus one O(G) psum.
+
+    Compared with the other join strategies:
+      - broadcast: dim replicated up front (needs G per shard, one-shot);
+      - shuffle:   O(N) all-to-all, exposed (non-overlapped) latency;
+      - ring:      O(G) ppermute traffic hidden under probe compute — the
+                   right choice when dim is too big to replicate but the
+                   fact table is too expensive to shuffle.
+
+    Returns (sums[n_groups], counts[n_groups]) replicated.
+    """
+    n_dev = _axis_size(mesh, axis)
+
+    def _pad(x, fill):
+        n = x.shape[0]
+        pad = (-n) % n_dev
+        if pad == 0:
+            return x, jnp.ones((n,), jnp.bool_)
+        return (
+            jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]),
+            jnp.concatenate([jnp.ones((n,), jnp.bool_), jnp.zeros((pad,), jnp.bool_)]),
+        )
+
+    dim_rows = jnp.arange(dim_keys.shape[0], dtype=jnp.int64)
+    fact_keys, fvalid = _pad(fact_keys, 0)
+    fact_vals, _ = _pad(fact_vals, 0)
+    dim_keys_p, dvalid = _pad(dim_keys, 0)
+    dim_rows_p, _ = _pad(dim_rows, 0)
+    chunk = dim_keys_p.shape[0] // n_dev
+    capacity = next_pow2(max(2 * chunk, 16))
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def local(fk, fv, fm, dk, drow, dm):
+        dk = jnp.where(dm, dk, EMPTY + 1)  # pad dim rows never match
+        pk = jnp.where(fm, fk, EMPTY + 2)  # pad fact rows never match
+
+        def step(carry, _):
+            dk_c, drow_c, sums, cnts = carry
+            # issue the next chunk's transfer FIRST — independent of the
+            # probe below, so XLA overlaps the ppermute with the compute
+            dk_n = jax.lax.ppermute(dk_c, axis, perm)
+            drow_n = jax.lax.ppermute(drow_c, axis, perm)
+            table, start, bcounts, order = build_join_table(dk_c, capacity)
+            found, _ = probe_counts(table, pk, bcounts, capacity)
+            matched = found >= 0
+            slot = jnp.maximum(found, 0)
+            dim_row = drow_c[order[jnp.clip(start[slot], 0, order.shape[0] - 1)]]
+            gid = jnp.where(matched, dim_row, n_groups)
+            sums = sums.at[gid].add(jnp.where(matched, fv, 0))
+            cnts = cnts.at[gid].add(matched.astype(jnp.int64))
+            return (dk_n, drow_n, sums, cnts), None
+
+        # accumulators derive from fv so they carry the shard-varying mesh
+        # axis (a fresh jnp.zeros is "unvarying" and scan rejects the carry)
+        vary = jnp.sum(fv) * 0
+        init = (
+            dk,
+            drow,
+            jnp.zeros((n_groups + 1,), fv.dtype) + vary,
+            jnp.zeros((n_groups + 1,), jnp.int64) + vary,
+        )
+        (_, _, sums, cnts), _ = jax.lax.scan(step, init, None, length=n_dev)
+        return jax.lax.psum(sums[:n_groups], axis), jax.lax.psum(cnts[:n_groups], axis)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=(P(), P()),
+    )(fact_keys, fact_vals, fvalid, dim_keys_p, dim_rows_p, dvalid)
+
+
 def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
     """all_to_all N rows to `dest` shards (dest == n_dev drops the row);
     returns (tuple of received arrays, received mask). Shared bucketing logic

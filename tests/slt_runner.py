@@ -23,6 +23,17 @@ import os
 import re
 from dataclasses import dataclass, field
 
+# Conformance is defined on the CPU backend (like conftest.py): the axon TPU
+# relay stores float64 as f32-pair emulation, so f64 values lose their ~3 low
+# mantissa bits in transit (2.3 -> 2.3000000000000007) — fine for the
+# throughput kernels, not for the bit-exact slt comparison. The environment's
+# sitecustomize pins JAX_PLATFORMS=axon at interpreter start, so both the env
+# var and the config knob must be set before first jax use.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from sqlrs_tpu import Database
 from sqlrs_tpu.errors import SqlrsError
 

@@ -135,3 +135,36 @@ def test_salted_join_groupby_extreme_skew(mesh):
     )
     assert np.array_equal(np.asarray(sums), exp_s)
     assert np.array_equal(np.asarray(cnts), exp_c)
+
+
+def test_ring_join_groupby(mesh, data):
+    from sqlrs_tpu.parallel.dist_ops import dist_join_groupby_ring
+
+    dk_sharded = jax.device_put(
+        jnp.asarray(np.arange(data["groups"], dtype=np.int64) * 7 + 3),
+        row_sharding(mesh),
+    )
+    sums, counts = dist_join_groupby_ring(
+        mesh, data["fk"], data["fv"], dk_sharded, data["groups"]
+    )
+    assert np.array_equal(np.asarray(sums), data["exp_s"])
+    assert np.array_equal(np.asarray(counts), data["exp_c"])
+
+
+def test_ring_join_groupby_unpadded_sizes(mesh):
+    """Fact and dim sizes not multiples of n_dev exercise the padding path."""
+    from sqlrs_tpu.parallel.dist_ops import dist_join_groupby_ring
+
+    rng = np.random.default_rng(7)
+    n, groups = 1003, 37
+    dim_keys = np.arange(groups, dtype=np.int64) * 11 + 5
+    gid = rng.integers(0, groups, n)
+    fk = jnp.asarray(dim_keys[gid])
+    fv = jnp.asarray(rng.integers(0, 10, n).astype(np.int64))
+    exp_s = np.zeros(groups, np.int64)
+    exp_c = np.zeros(groups, np.int64)
+    np.add.at(exp_s, gid, np.asarray(fv))
+    np.add.at(exp_c, gid, 1)
+    sums, counts = dist_join_groupby_ring(mesh, fk, fv, jnp.asarray(dim_keys), groups)
+    assert np.array_equal(np.asarray(sums), exp_s)
+    assert np.array_equal(np.asarray(counts), exp_c)
