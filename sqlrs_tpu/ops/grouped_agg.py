@@ -204,6 +204,136 @@ def sorted_grouped_aggregate(
     return group_cols, agg_cols, n_groups
 
 
+def partial_grouped_fixed(alive, row_idx, keys, aggs, g_cap: int):
+    """Shard-local FIXED-CAPACITY partial GROUP BY — the shard_map-safe core
+    of the distributed aggregation (static shapes only, no host sync; the
+    capacity-overflow flag drives the caller's bucketed-recompile retry,
+    SURVEY.md §7 "fixed-capacity batches + valid-count scalars").
+
+    Same sorted-run formulation as sorted_grouped_aggregate, but runs land in
+    g_cap-sized output buffers instead of a data-dependent allocation.
+
+    alive:   bool[n] live-row mask (dead rows sort last, never form runs)
+    row_idx: int64[n] global row ids (min per run = first-appearance key)
+    keys:    list of (orderable int array, valid bool, raw data array)
+    aggs:    list of ("count_star" | "count" | "sum" | "avg" | "min" | "max"
+             | "vmin" | "vmax", data, valid, rank_or_None, out_dtype)
+             (data/valid/rank are None for count_star; rank only for v*)
+
+    Returns (key_outs, first_row, live, states, n_runs, overflow) where
+    key_outs = [(data[g_cap], valid[g_cap])], states = per agg dict of
+    g_cap-sized partial-state arrays.
+    """
+    n = alive.shape[0]
+    dead = jnp.logical_not(alive).astype(jnp.int32)
+    sort_keys: list = [dead]
+    for orderable, valid, _raw in keys:
+        sort_keys.append(valid.astype(jnp.int32))
+        sort_keys.append(jnp.where(valid, orderable, 0))
+    num_keys = len(sort_keys)
+
+    payloads: list = [row_idx, alive.astype(jnp.int32)]
+    key_pay_ix = []
+    for _orderable, valid, raw in keys:
+        key_pay_ix.append(len(payloads))
+        payloads.append(_sortable(raw))
+        payloads.append(valid.astype(jnp.int32))
+    agg_pay_ix = []
+    for kind, data, valid, rank, _dt in aggs:
+        if data is None:
+            agg_pay_ix.append(None)
+            continue
+        agg_pay_ix.append(len(payloads))
+        payloads.append(_sortable(data))
+        payloads.append(valid.astype(jnp.int32))
+        if rank is not None:
+            payloads.append(rank)
+
+    out = lax.sort(tuple(sort_keys + payloads), num_keys=num_keys)
+    s_keys = out[:num_keys]
+    s_pay = list(out[num_keys:])
+    alive_b = s_pay[1] > 0
+    row_s = s_pay[0]
+
+    new_run = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
+    for arr in s_keys[1:]:  # skip the dead flag: runs only split on key fields
+        d = arr[1:] != arr[:-1]
+        new_run = new_run.at[1:].set(jnp.logical_or(new_run[1:], d))
+    new_run = new_run & alive_b
+    rid = jnp.cumsum(new_run.astype(jnp.int64)) - 1
+    n_runs = jnp.sum(new_run.astype(jnp.int64))
+    overflow = n_runs > g_cap
+    trash = jnp.int64(g_cap)
+    rid_c = jnp.where(alive_b & (rid >= 0), jnp.minimum(rid, trash), trash)
+    route_start = jnp.where(new_run & (rid < g_cap), rid, trash)
+
+    big64 = jnp.int64(jnp.iinfo(jnp.int64).max)
+    first_row = jnp.full((g_cap + 1,), big64).at[rid_c].min(
+        jnp.where(alive_b, row_s, big64)
+    )[:g_cap]
+
+    key_outs = []
+    for (o, v, raw), ix in zip(keys, key_pay_ix):
+        raw_s, valid_s = s_pay[ix], s_pay[ix + 1]
+        kd = jnp.zeros((g_cap + 1,), raw_s.dtype).at[route_start].set(raw_s)[:g_cap]
+        kv = jnp.zeros((g_cap + 1,), jnp.int32).at[route_start].set(valid_s)[:g_cap] > 0
+        key_outs.append((kd, kv))
+
+    states = []
+    ones = jnp.ones(n, dtype=jnp.int64)
+    for (kind, data, valid, rank, out_dt), ix in zip(aggs, agg_pay_ix):
+        if kind == "count_star":
+            cnt = jnp.zeros((g_cap + 1,), jnp.int64).at[rid_c].add(
+                alive_b.astype(jnp.int64)
+            )[:g_cap]
+            states.append({"cnt": cnt})
+            continue
+        data_s = s_pay[ix]
+        valid_s = (s_pay[ix + 1] > 0) & alive_b
+        route_v = jnp.where(valid_s, rid_c, trash)
+        cnt = jnp.zeros((g_cap + 1,), jnp.int64).at[route_v].add(ones)[:g_cap]
+        if kind == "count":
+            states.append({"cnt": cnt})
+        elif kind in ("sum", "avg"):
+            acc = data_s.astype(out_dt)
+            s = jnp.zeros((g_cap + 1,), out_dt).at[route_v].add(
+                jnp.where(valid_s, acc, 0)
+            )[:g_cap]
+            states.append({"cnt": cnt, "sum": s})
+        elif kind in ("min", "max"):
+            if jnp.issubdtype(data_s.dtype, jnp.floating):
+                sent = jnp.inf if kind == "min" else -jnp.inf
+            else:
+                ii = jnp.iinfo(data_s.dtype)
+                sent = ii.max if kind == "min" else ii.min
+            v = jnp.where(valid_s, data_s, jnp.asarray(sent, data_s.dtype))
+            init = jnp.full((g_cap + 1,), sent, data_s.dtype)
+            best = (
+                init.at[route_v].min(v) if kind == "min" else init.at[route_v].max(v)
+            )[:g_cap]
+            states.append({"cnt": cnt, "best": best})
+        elif kind in ("vmin", "vmax"):
+            # dictionary-code min/max by rank: pack (rank << 32 | code) so a
+            # single int64 min/max carries the winning code along
+            rank_s = s_pay[ix + 2]
+            code_u = data_s.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+            packed = (rank_s.astype(jnp.int64) << 32) | code_u
+            if kind == "vmin":
+                sent = big64
+                v = jnp.where(valid_s, packed, sent)
+                best = jnp.full((g_cap + 1,), sent).at[route_v].min(v)[:g_cap]
+            else:
+                sent = -big64
+                v = jnp.where(valid_s, packed, sent)
+                best = jnp.full((g_cap + 1,), sent).at[route_v].max(v)[:g_cap]
+            states.append({"cnt": cnt, "best": (best & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)})
+        else:
+            raise ExecutorError(f"unknown partial aggregate kind {kind}")
+
+    live = jnp.arange(g_cap, dtype=jnp.int64) < jnp.minimum(n_runs, trash)
+    return key_outs, first_row, live, states, n_runs, overflow
+
+
 def _sortable(data):
     """lax.sort payload-friendly view (bools -> int32)."""
     if data.dtype == jnp.bool_:

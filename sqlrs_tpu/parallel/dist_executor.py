@@ -1,0 +1,479 @@
+"""SQL-level distributed execution: physical plans over row-sharded tables.
+
+The reference has NO distributed execution (SURVEY.md §2.3: single-process
+tokio streams, no exchange operator). This module is the from-scratch
+TPU-native counterpart: a second executor personality that runs the SAME
+physical plans the single-device executor runs, but over tables row-sharded
+across a `jax.sharding.Mesh` — the "partitioned parallel scan" (DP) component
+of the parallelism table, composed with the exchange/partial-agg/join
+strategies in parallel/dist_ops.py.
+
+Design (SURVEY.md §7 "fixed-capacity batches + valid-count scalars"):
+
+- `ShardedBatch`: columns are jax arrays laid out P("x") over the mesh —
+  contiguous row blocks per device — padded to a multiple of n_dev, plus an
+  `alive` row mask. Filters only clear `alive` bits (no compaction ⇒ no
+  communication, static shapes); compaction happens once, at the collect
+  boundary.
+- Row order: because sharding is block-contiguous and dead rows are masked
+  (never reordered), collecting a ShardedBatch yields rows in EXACTLY the
+  single-device order. Distributed results are bit-exact with the
+  single-device engine, ordering included.
+- Operators keep data sharded as long as the op is expressible with static
+  shapes and mesh collectives (scan/filter/project/simple & grouped agg/hash
+  join); everything else (ORDER BY, LIMIT windowing, DISTINCT aggs, DDL)
+  materializes and delegates to the standard executor — pipeline breakers
+  land exactly where the reference materializes (order.rs:14,
+  hash_agg.rs:32, hash_join.rs:187).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqlrs_tpu.data import Column, DeviceBatch, Schema
+from sqlrs_tpu.exec.executor import Executor, _schema
+from sqlrs_tpu.exec.expression_executor import execute_expr
+from sqlrs_tpu.ops import elementwise as ew
+from sqlrs_tpu.parallel.mesh import DATA_AXIS, replicated, row_sharding
+from sqlrs_tpu.plan import physical as P
+from sqlrs_tpu.types import LogicalType, ScalarValue, numpy_dtype_for
+
+
+@dataclass
+class ShardedBatch:
+    """Row-sharded columnar batch: fixed capacity (multiple of n_dev),
+    `alive` marks live rows. `parts` holds small host-side row blocks that
+    belong AFTER all sharded rows (unmatched-left join output, reference
+    hash_join.rs:294-322 appends them last)."""
+
+    schema: Schema
+    columns: list[Column]  # data/valid sharded P(axis)
+    alive: jnp.ndarray  # bool[capacity], sharded P(axis)
+    mesh: jax.sharding.Mesh
+    parts: list[DeviceBatch] = field(default_factory=list)
+
+    @property
+    def capacity(self) -> int:
+        return int(self.alive.shape[0])
+
+    def view(self) -> DeviceBatch:
+        """Expression-evaluation view (capacity rows; dead rows hold garbage
+        that downstream masks ignore)."""
+        return DeviceBatch(self.schema, self.columns, self.capacity)
+
+    def with_columns(self, schema: Schema, columns: list[Column]) -> "ShardedBatch":
+        return ShardedBatch(schema, columns, self.alive, self.mesh, list(self.parts))
+
+    def to_device_batch(self) -> DeviceBatch:
+        """Collect: gather shards, compact dead rows. Preserves single-device
+        row order (block-contiguous sharding + stable masking)."""
+        alive = np.asarray(self.alive)
+        idx = np.nonzero(alive)[0]
+        cols = []
+        for c in self.columns:
+            data = np.asarray(c.data)[idx]
+            valid = np.asarray(c.valid)[idx]
+            cols.append(Column.from_numpy(c.type, data, valid))
+        out = DeviceBatch(self.schema, cols, len(idx))
+        if self.parts:
+            out = DeviceBatch.concat([out] + self.parts)
+        return out
+
+
+def shard_batch(batch: DeviceBatch, mesh: jax.sharding.Mesh) -> ShardedBatch:
+    """Pad rows to a multiple of n_dev and lay columns out P(axis) — the
+    partitioned parallel scan (each device holds one contiguous row block)."""
+    n_dev = mesh.devices.size
+    n = batch.num_rows
+    cap = max(((n + n_dev - 1) // n_dev) * n_dev, n_dev)
+    sh = row_sharding(mesh)
+    cols = []
+    for c in batch.columns:
+        data = np.zeros(cap, dtype=numpy_dtype_for(c.type))
+        valid = np.zeros(cap, dtype=np.bool_)
+        data[:n] = np.asarray(c.data)
+        valid[:n] = np.asarray(c.valid)
+        cols.append(
+            Column(c.type, jax.device_put(jnp.asarray(data), sh),
+                   jax.device_put(jnp.asarray(valid), sh))
+        )
+    alive = np.zeros(cap, dtype=np.bool_)
+    alive[:n] = True
+    return ShardedBatch(batch.schema, cols, jax.device_put(jnp.asarray(alive), sh), mesh)
+
+
+class DistributedExecutor:
+    """Distributed personality of exec/executor.Executor: same physical plan
+    IR, sharded data plane. Unsupported operators materialize their inputs
+    and delegate to the single-device executor (correctness is never gated on
+    distribution support)."""
+
+    def __init__(self, db, mesh, profile=None) -> None:
+        self.db = db
+        self.mesh = mesh
+        self.profile = profile
+
+    # ---- entry -----------------------------------------------------------------
+
+    def run(self, op: P.PhysicalOperator) -> DeviceBatch:
+        out = self.execute(op)
+        return out.to_device_batch() if isinstance(out, ShardedBatch) else out
+
+    def execute(self, op: P.PhysicalOperator):
+        name = type(op).__name__.removeprefix("Physical")
+        method = getattr(self, "_dexec_" + name, None)
+        if method is None:
+            return self._fallback(op)
+        if self.profile is None:
+            return method(op)
+        with self.profile.measure("dist:" + op.explain_line()[:54]) as stats:
+            out = method(op)
+            if isinstance(out, ShardedBatch):
+                stats.rows_out = int(jnp.sum(out.alive))
+            else:
+                stats.rows_out = out.num_rows
+        return out
+
+    def _fallback(self, op: P.PhysicalOperator) -> DeviceBatch:
+        """Materialize children, then run the standard executor for this op."""
+        cache = {
+            id(c): self._materialize(self.execute(c)) for c in op.children
+        }
+        return _DelegatingExecutor(self.db, cache).execute(op)
+
+    @staticmethod
+    def _materialize(res) -> DeviceBatch:
+        return res.to_device_batch() if isinstance(res, ShardedBatch) else res
+
+    # ---- scans -----------------------------------------------------------------
+
+    def _dexec_TableScan(self, op: P.PhysicalTableScan):
+        fn = self.db.catalog.table_function(op.function_name)
+        batch = fn.execute(self.db, op.bind_data, op.projection, op.bounds)
+        return shard_batch(batch, self.mesh)
+
+    # ---- row-wise (zero-communication SPMD) ----------------------------------------
+
+    def _dexec_Projection(self, op: P.PhysicalProjection):
+        child = self.execute(op.children[0])
+        if not isinstance(child, ShardedBatch):
+            return self._delegate(op, child)
+        cols = [execute_expr(e, child.view()) for e in op.exprs]
+        out = child.with_columns(_schema(op), cols)
+        out.parts = [
+            DeviceBatch(
+                _schema(op), [execute_expr(e, p) for e in op.exprs], p.num_rows
+            )
+            for p in child.parts
+        ]
+        return out
+
+    def _dexec_Filter(self, op: P.PhysicalFilter):
+        child = self.execute(op.children[0])
+        if not isinstance(child, ShardedBatch):
+            return self._delegate(op, child)
+        keep = execute_expr(op.predicate, child.view())
+        alive = child.alive & keep.data & keep.valid
+        out = ShardedBatch(child.schema, child.columns, alive, self.mesh)
+        for p in child.parts:
+            k = execute_expr(op.predicate, p)
+            out.parts.append(p.take(ew.selection_to_indices(k)))
+        return out
+
+    # ---- ungrouped aggregation: local partials + XLA-inserted psum ----------------
+
+    def _dexec_SimpleAgg(self, op: P.PhysicalSimpleAgg):
+        child = self.execute(op.children[0])
+        if not isinstance(child, ShardedBatch) or child.parts:
+            return self._delegate(op, child)
+        if any(a.distinct for a in op.aggregates):
+            return self._delegate(op, child.to_device_batch())
+        view = child.view()
+        alive = child.alive
+        out_vals: list[ScalarValue] = []
+        for a in op.aggregates:
+            out_vals.append(self._simple_agg_value(a, view, alive))
+        cols = [
+            Column.from_scalars(a.return_type(), [v])
+            for a, v in zip(op.aggregates, out_vals)
+        ]
+        return DeviceBatch(_schema(op), cols, 1)
+
+    def _simple_agg_value(self, a, view: DeviceBatch, alive) -> ScalarValue:
+        rt = a.return_type()
+        if a.arg is None:  # count(*)
+            return ScalarValue(rt, int(jnp.sum(alive)))
+        col = execute_expr(a.arg, view)
+        ok = alive & col.valid
+        cnt = int(jnp.sum(ok))
+        name = a.function_name
+        if name == "count":
+            return ScalarValue(rt, cnt)
+        if cnt == 0:
+            return ScalarValue(rt, None)
+        if name in ("sum", "avg"):
+            acc_t = np.float64 if name == "avg" else numpy_dtype_for(rt)
+            s = jnp.sum(jnp.where(ok, col.data.astype(acc_t), 0))
+            if name == "avg":
+                return ScalarValue(rt, float(s) / cnt)
+            v = float(s) if rt.is_float() else int(s)
+            return ScalarValue(rt, v)
+        if name in ("min", "max"):
+            if col.type == LogicalType.VARCHAR:
+                from sqlrs_tpu.ops.sort import orderable_key
+
+                key, _ = orderable_key(col)
+                big = jnp.iinfo(key.dtype).max
+                k = jnp.where(ok, key, big if name == "min" else -big)
+                i = int(jnp.argmin(k) if name == "min" else jnp.argmax(k))
+                return view_scalar(col, i)
+            dt = numpy_dtype_for(col.type)
+            if col.type.is_float():
+                sent = np.inf if name == "min" else -np.inf
+            else:
+                ii = np.iinfo(dt)
+                sent = ii.max if name == "min" else ii.min
+            v = jnp.where(ok, col.data, jnp.asarray(sent, col.data.dtype))
+            r = jnp.min(v) if name == "min" else jnp.max(v)
+            return ScalarValue(rt, float(r) if rt.is_float() else int(r)).cast_to(rt)
+        from sqlrs_tpu.errors import ExecutorError
+
+        raise ExecutorError(f"unknown aggregate {name}")
+
+    # ---- grouped aggregation: shard-local sorted partials + O(G) all_gather -------
+
+    def _dexec_HashAgg(self, op: P.PhysicalHashAgg):
+        child = self.execute(op.children[0])
+        if (
+            not isinstance(child, ShardedBatch)
+            or child.parts
+            or any(a.distinct for a in op.aggregates)
+        ):
+            return self._delegate(op, child)
+        return self._grouped_agg_dist(op, child)
+
+    def _grouped_agg_dist(self, op, child: ShardedBatch) -> DeviceBatch:
+        """Two-phase distributed GROUP BY: per-shard fixed-capacity sorted
+        partial aggregation under shard_map (communication = ONE all_gather
+        of O(G) partials), then a final merge on the gathered partials via
+        the standard sorted-run kernel. The min global row index is carried
+        as a partial state and the final rows are ordered by it, reproducing
+        the reference's first-appearance group order exactly
+        (reference hash_agg.rs:85-111)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        from sqlrs_tpu.ops.grouped_agg import (
+            partial_grouped_fixed,
+            sorted_grouped_aggregate,
+        )
+        from sqlrs_tpu.ops.hash_table import next_pow2
+        from sqlrs_tpu.ops.sort import orderable_key
+
+        view = child.view()
+        key_cols = [execute_expr(g, view) for g in op.groups]
+        agg_cols = [
+            execute_expr(a.arg, view) if a.arg is not None else None
+            for a in op.aggregates
+        ]
+
+        # ---- flatten inputs for shard_map ------------------------------------
+        arrays: list = [child.alive]
+        key_desc = []  # (orderable_ix, valid_ix, raw_ix)
+        for c in key_cols:
+            okey, _ = orderable_key(c)
+            key_desc.append(len(arrays))
+            arrays.extend([okey, c.valid, c.data])
+        agg_desc = []  # (kind, data_ix or None, out_dtype)
+        for a, c in zip(op.aggregates, agg_cols):
+            name = a.function_name
+            if c is None:
+                agg_desc.append(("count_star", None, None))
+                continue
+            if name in ("min", "max") and c.type == LogicalType.VARCHAR:
+                rank, _ = orderable_key(c)
+                agg_desc.append(("vmin" if name == "min" else "vmax", len(arrays), np.int32))
+                arrays.extend([c.data, c.valid, rank])
+                continue
+            if name == "avg":
+                out_dt = np.float64
+            elif name == "sum":
+                out_dt = numpy_dtype_for(a.return_type())
+            else:
+                out_dt = numpy_dtype_for(c.type)
+            agg_desc.append((name, len(arrays), out_dt))
+            arrays.extend([c.data, c.valid])
+
+        n_dev = self.mesh.devices.size
+        cap_local = child.capacity // n_dev
+        axis = DATA_AXIS
+
+        def make_local(g_cap):
+            def local(*arrs):
+                alive = arrs[0]
+                n_local = alive.shape[0]
+                base = jax.lax.axis_index(axis).astype(jnp.int64) * n_local
+                row_idx = base + jnp.arange(n_local, dtype=jnp.int64)
+                keys = [
+                    (arrs[ix], arrs[ix + 1], arrs[ix + 2]) for ix in key_desc
+                ]
+                aggs = []
+                for kind, ix, out_dt in agg_desc:
+                    if ix is None:
+                        aggs.append((kind, None, None, None, None))
+                    elif kind in ("vmin", "vmax"):
+                        aggs.append((kind, arrs[ix], arrs[ix + 1], arrs[ix + 2], out_dt))
+                    else:
+                        aggs.append((kind, arrs[ix], arrs[ix + 1], None, out_dt))
+                key_outs, first_row, live, states, n_runs, overflow = (
+                    partial_grouped_fixed(alive, row_idx, keys, aggs, g_cap)
+                )
+                flat = [first_row, live, n_runs[None], overflow[None]]
+                for kd, kv in key_outs:
+                    flat.extend([kd, kv])
+                for st in states:
+                    for k in sorted(st):
+                        flat.append(st[k])
+                return tuple(flat)
+
+            return local
+
+        g_cap = min(next_pow2(max(64, cap_local // 8)), next_pow2(cap_local))
+        while True:
+            local = make_local(g_cap)
+            outs = shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(PS(axis),) * len(arrays),
+                out_specs=PS(axis),
+            )(*arrays)
+            overflow = bool(np.any(np.asarray(outs[3])))
+            if not overflow or g_cap >= next_pow2(cap_local):
+                break
+            g_cap = min(g_cap * 4, next_pow2(cap_local))  # bucketed recompile
+
+        # ---- assemble gathered partials (host compact at G size) --------------
+        first_row = np.asarray(outs[0])
+        live = np.asarray(outs[1])
+        idx = np.nonzero(live)[0]
+        p = 4
+        partial_keys = []
+        for c in key_cols:
+            kd = np.asarray(outs[p])[idx]
+            kv = np.asarray(outs[p + 1])[idx]
+            p += 2
+            partial_keys.append(Column.from_numpy(c.type, kd, kv))
+        merge_specs = [
+            (
+                "min",
+                Column.from_numpy(LogicalType.BIGINT, first_row[idx]),
+                LogicalType.BIGINT,
+            )
+        ]
+        result_plan = []  # per original agg: how to read merged outputs
+        for (kind, _ix, _dt), a in zip(agg_desc, op.aggregates):
+            rt = a.return_type()
+            if kind in ("count_star", "count"):
+                cnt = Column.from_numpy(LogicalType.BIGINT, np.asarray(outs[p])[idx])
+                p += 1
+                result_plan.append(("count", len(merge_specs), rt))
+                merge_specs.append(("sum", cnt, LogicalType.BIGINT))
+            elif kind in ("sum", "avg"):
+                # state order sorted(): cnt, sum
+                cnt_np = np.asarray(outs[p])[idx]
+                sum_np = np.asarray(outs[p + 1])[idx]
+                p += 2
+                has = cnt_np > 0
+                st = LogicalType.DOUBLE if kind == "avg" else rt
+                sum_col = Column.from_numpy(st, sum_np, has)
+                cnt_col = Column.from_numpy(LogicalType.BIGINT, cnt_np)
+                if kind == "avg":
+                    result_plan.append(("avg", len(merge_specs), rt))
+                    merge_specs.append(("sum", sum_col, LogicalType.DOUBLE))
+                    merge_specs.append(("sum", cnt_col, LogicalType.BIGINT))
+                else:
+                    result_plan.append(("direct", len(merge_specs), rt))
+                    merge_specs.append(("sum", sum_col, rt))
+            elif kind in ("min", "max", "vmin", "vmax"):
+                # state order sorted(): best, cnt
+                best_np = np.asarray(outs[p])[idx]
+                cnt_np = np.asarray(outs[p + 1])[idx]
+                p += 2
+                has = cnt_np > 0
+                if kind in ("vmin", "vmax"):
+                    from sqlrs_tpu.data.strings import NULL_CODE
+
+                    src_t = LogicalType.VARCHAR
+                    best_np = np.where(has, best_np, NULL_CODE)
+                else:
+                    src_t = agg_cols[len(result_plan)].type
+                best_col = Column.from_numpy(src_t, best_np, has)
+                result_plan.append(("direct", len(merge_specs), rt))
+                merge_specs.append(
+                    ("min" if kind in ("min", "vmin") else "max", best_col, rt)
+                )
+            else:  # pragma: no cover
+                raise AssertionError(kind)
+
+        gcols, acols, n_groups = sorted_grouped_aggregate(partial_keys, merge_specs)
+
+        # ---- first-appearance order + output assembly --------------------------
+        if n_groups > 0:
+            order = jnp.argsort(acols[0].data)
+            gcols = [c.take(order) for c in gcols]
+            acols = [c.take(order) for c in acols]
+        out_cols = list(gcols)
+        for what, mi, rt in result_plan:
+            if what == "count":
+                out_cols.append(
+                    Column(
+                        LogicalType.BIGINT,
+                        acols[mi].data,
+                        jnp.ones(n_groups, jnp.bool_),
+                    )
+                )
+            elif what == "avg":
+                s, c = acols[mi], acols[mi + 1]
+                cnt = jnp.maximum(c.data, 1)
+                out_cols.append(
+                    Column(rt, s.data / cnt.astype(jnp.float64), c.data > 0)
+                )
+            else:
+                a = acols[mi]
+                dt = numpy_dtype_for(rt)
+                data = a.data if a.data.dtype == dt else a.data.astype(dt)
+                out_cols.append(Column(rt, data, a.valid))
+        return DeviceBatch(_schema(op), out_cols, n_groups)
+
+    # ---- delegation ---------------------------------------------------------------
+
+    def _delegate(self, op: P.PhysicalOperator, child_result) -> DeviceBatch:
+        cache = {id(op.children[0]): self._materialize(child_result)}
+        for c in op.children[1:]:
+            cache[id(c)] = self._materialize(self.execute(c))
+        return _DelegatingExecutor(self.db, cache).execute(op)
+
+
+def view_scalar(col: Column, i: int) -> ScalarValue:
+    return col.scalar_at(i)
+
+
+class _DelegatingExecutor(Executor):
+    """Standard executor that serves precomputed results for given child
+    plan nodes (the materialize-and-delegate fallback seam)."""
+
+    def __init__(self, db, cache: dict[int, DeviceBatch]) -> None:
+        super().__init__(db)
+        self._cache = cache
+
+    def execute(self, op: P.PhysicalOperator) -> DeviceBatch:
+        hit = self._cache.get(id(op))
+        if hit is not None:
+            return hit
+        return super().execute(op)

@@ -31,7 +31,22 @@ from sqlrs_tpu.utils.render import batches_to_slt_lines
 
 
 class Database:
-    def __init__(self, base_dir: str | None = None, profile: bool = False) -> None:
+    def __init__(
+        self,
+        base_dir: str | None = None,
+        profile: bool = False,
+        mesh=None,
+        n_devices: int | None = None,
+    ) -> None:
+        """`mesh` (a jax.sharding.Mesh) or `n_devices` turns on distributed
+        execution: tables are row-sharded across the mesh and plans run via
+        parallel/dist_executor.DistributedExecutor (bit-exact with the
+        single-device engine, row order included)."""
+        if mesh is None and n_devices is not None:
+            from sqlrs_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_devices)
+        self.mesh = mesh
         self.catalog = Catalog()
         for fn in BUILTIN_TABLE_FUNCTIONS:
             self.catalog.register_table_function(fn.name, fn)
@@ -133,7 +148,12 @@ class Database:
             from sqlrs_tpu.utils.profiling import QueryProfile
 
             profile = QueryProfile()
-        batch = Executor(self, profile=profile).execute(phys)
+        if self.mesh is not None:
+            from sqlrs_tpu.parallel.dist_executor import DistributedExecutor
+
+            batch = DistributedExecutor(self, self.mesh, profile=profile).run(phys)
+        else:
+            batch = Executor(self, profile=profile).execute(phys)
         if profile is not None:
             self.last_profile = profile
         return [batch] if len(batch.schema) > 0 else []
