@@ -451,6 +451,152 @@ class DistributedExecutor:
                 out_cols.append(Column(rt, data, a.valid))
         return DeviceBatch(_schema(op), out_cols, n_groups)
 
+    # ---- hash join: replicated build side, sharded slot-expansion probe ------------
+
+    # guardrails for the fixed-width slot expansion; beyond these the
+    # materialize-and-delegate path is the better plan anyway
+    _JOIN_MAX_DUP = 256
+    _JOIN_MAX_CELLS = 1 << 26
+
+    def _dexec_HashJoin(self, op: P.PhysicalHashJoin):
+        right = self.execute(op.children[1])
+        if not isinstance(right, ShardedBatch) or right.parts:
+            cache = {id(op.children[1]): self._materialize(right)}
+            cache[id(op.children[0])] = self._materialize(self.execute(op.children[0]))
+            return _DelegatingExecutor(self.db, cache).execute(op)
+        left = self._materialize(self.execute(op.children[0]))
+        return self._hash_join_dist(op, left, right)
+
+    def _hash_join_dist(self, op, left: DeviceBatch, right: ShardedBatch):
+        """Broadcast-build distributed equi join (reference semantics from
+        hash_join.rs:146-323, re-laid-out for static shapes):
+
+        - the build (left) side is replicated; the probe (right) side stays
+          row-sharded — no shuffle of the big side;
+        - each probe row owns a fixed strip of m match slots (m = max build
+          bucket size) plus, for right/full joins, one unmatched-right slot —
+          probe-row-major strips reproduce the reference's probe-order
+          emission (incl. unmatched-right rows interleaved at their probe
+          position) EXACTLY, because sharding is block-contiguous;
+        - candidates come from the shared open-addressing table
+          (ops/hash_table.py) on a combined key hash, then every candidate is
+          re-checked for exact equality on all key columns (the reference's
+          missing collision check, hash_join.rs:221-224, fixed here too);
+        - unmatched-left rows (left/full) are computed from a psum'd visited
+          bitmap and appended as a host part — the reference also appends
+          them last (hash_join.rs:294-322)."""
+        from sqlrs_tpu.exec.executor import _merge_rows
+        from sqlrs_tpu.ops.hash_table import (
+            EMPTY,
+            _mix64,
+            build_join_table,
+            next_pow2,
+            probe_counts,
+        )
+
+        nl = left.num_rows
+        rview = right.view()
+        left_keys = [execute_expr(l, left) for l, _ in op.on]
+        right_keys = [execute_expr(r, rview) for _, r in op.on]
+
+        def combined_hash(cols, n):
+            h = jnp.full((n,), jnp.uint64(0x9E3779B97F4A7C15))
+            valid = jnp.ones((n,), jnp.bool_)
+            for c in cols:
+                h = _mix64(h ^ _mix64(_int64_bits(c).astype(jnp.uint64)))
+                valid = valid & c.valid
+            h = h.astype(jnp.int64)
+            # keep clear of the table's reserved EMPTY key
+            return jnp.where(h == EMPTY, EMPTY + 3, h), valid
+
+        bh, bvalid = combined_hash(left_keys, nl)
+        # NULL-key build rows never match: give each a spread, unique-ish
+        # hash (collisions are harmless — the exact re-check rejects them)
+        row_ids = jnp.arange(nl, dtype=jnp.int64)
+        decoy = _mix64((row_ids + 7).astype(jnp.uint64)).astype(jnp.int64)
+        bh = jnp.where(bvalid, bh, jnp.where(decoy == EMPTY, EMPTY + 3, decoy))
+
+        cap_r = right.capacity
+        extra = 1 if op.join_type in ("right", "full") else 0
+        if nl > 0:
+            capacity = next_pow2(max(2 * nl, 16))
+            table, start, bcounts, order = build_join_table(bh, capacity)
+            m = int(jnp.max(bcounts))
+        else:
+            m = 0
+        w = max(m, 1) + extra
+        if nl == 0 or m > self._JOIN_MAX_DUP or cap_r * w > self._JOIN_MAX_CELLS:
+            cache = {
+                id(op.children[0]): left,
+                id(op.children[1]): right.to_device_batch(),
+            }
+            return _DelegatingExecutor(self.db, cache).execute(op)
+
+        ph, pvalid = combined_hash(right_keys, cap_r)
+        found, counts = probe_counts(table, ph, bcounts, capacity)
+        probe_ok = right.alive & pvalid & (found >= 0)
+        slot = jnp.maximum(found, 0)
+        j = jnp.arange(m, dtype=jnp.int64)  # slot strip within a probe row
+        cand_pos = start[slot][:, None] + j[None, :]
+        cand = order[jnp.clip(cand_pos, 0, nl - 1)]  # (cap_r, m) build rows
+        have = probe_ok[:, None] & (j[None, :] < counts[:, None])
+        # exact key equality re-check on every candidate
+        for lk, rk in zip(left_keys, right_keys):
+            lv = lk.data[cand]
+            have = have & lk.valid[cand] & rk.valid[:, None]
+            have = have & (_int64_bits_v(lv, lk.type) == _int64_bits(rk)[:, None])
+
+        # ---- merged output columns: (cap_r, w) strips, row-major ----------------
+        pad = jnp.zeros((cap_r, extra), dtype=cand.dtype) if extra else None
+        cand_w = jnp.concatenate([cand, pad], axis=1) if extra else cand
+        match_w = (
+            jnp.concatenate([have, jnp.zeros((cap_r, extra), jnp.bool_)], axis=1)
+            if extra
+            else have
+        )
+        cand_flat = cand_w.reshape(-1)
+        match_flat = match_w.reshape(-1)
+        n_out = cap_r * w
+        cols: list[Column] = []
+        for c in left.columns:
+            data = c.data[cand_flat]
+            valid = c.valid[cand_flat] & match_flat
+            cols.append(Column(c.type, data, valid))
+        for c in rview.columns:
+            cols.append(
+                Column(c.type, jnp.repeat(c.data, w), jnp.repeat(c.valid, w))
+            )
+        merged = DeviceBatch(_schema(op), cols, n_out)
+        alive = match_flat
+        if op.filter is not None:
+            keep = execute_expr(op.filter, merged)
+            alive = alive & keep.data & keep.valid
+
+        if extra:
+            has_match = jnp.any(alive.reshape(cap_r, w), axis=1)
+            ur = right.alive & ~has_match  # unmatched right rows, in place
+            ur_flat = (
+                jnp.concatenate(
+                    [jnp.zeros((cap_r, m), jnp.bool_), ur[:, None]], axis=1
+                )
+            ).reshape(-1)
+            alive = alive | ur_flat
+
+        out = ShardedBatch(_schema(op), merged.columns, alive, self.mesh)
+
+        if op.join_type in ("left", "full"):
+            visited = (
+                jnp.zeros((nl + 1,), jnp.int32)
+                .at[jnp.where(alive & match_flat, cand_flat, nl)]
+                .add(1)[:nl]
+            )
+            unmatched_l = np.nonzero(~(np.asarray(visited) > 0))[0]
+            if len(unmatched_l):
+                out.parts.append(
+                    _merge_rows(op, left, rview, unmatched_l, None)
+                )
+        return out
+
     # ---- delegation ---------------------------------------------------------------
 
     def _delegate(self, op: P.PhysicalOperator, child_result) -> DeviceBatch:
@@ -462,6 +608,22 @@ class DistributedExecutor:
 
 def view_scalar(col: Column, i: int) -> ScalarValue:
     return col.scalar_at(i)
+
+
+def _int64_bits_v(data, _t=None):
+    """Equality/hash bit view of column data as int64 (floats via bitcast
+    with -0.0 normalized so SQL 0 = -0 holds)."""
+    if data.dtype == jnp.float64:
+        data = jnp.where(data == 0, 0.0, data)
+        return jax.lax.bitcast_convert_type(data, jnp.int64)
+    if data.dtype == jnp.float32:
+        data = jnp.where(data == 0, jnp.float32(0), data)
+        return jax.lax.bitcast_convert_type(data, jnp.int32).astype(jnp.int64)
+    return data.astype(jnp.int64)
+
+
+def _int64_bits(c: Column):
+    return _int64_bits_v(c.data, c.type)
 
 
 class _DelegatingExecutor(Executor):

@@ -49,6 +49,25 @@ QUERIES = [
     "select state, min(first_name), max(first_name) from employee group by state",
     "select salary, count(*) from employee group by salary",  # NULL group key
     "select b, sum(a), max(c) from t1 group by b",
+    # hash joins (replicated build, sharded slot-expansion probe);
+    # emission order must match the reference probe-order semantics
+    "select * from employee join department on employee.department_id = department.id",
+    "select * from employee left join department on employee.department_id = department.id",
+    "select * from employee right join department on employee.department_id = department.id",
+    "select * from employee full join department on employee.department_id = department.id",
+    "select * from t1 join t2 on t1.a = t2.a and t1.b = t2.b",
+    "select * from employee join department on employee.department_id = department.id and employee.salary > 100",
+    "select first_name, department_name, state_name from employee"
+    " join department on employee.department_id = department.id"
+    " join state on employee.state = state.state_code",
+    # join feeding distributed aggregation
+    "select department_name, sum(salary), count(*) from employee"
+    " join department on employee.department_id = department.id"
+    " group by department_name",
+    # join feeding ORDER BY / LIMIT (materialize boundary)
+    "select first_name, department_name from employee"
+    " join department on employee.department_id = department.id"
+    " order by first_name desc limit 2",
 ]
 
 
@@ -56,6 +75,47 @@ QUERIES = [
 def test_distributed_matches_single_device(dbs, sql):
     db1, db8 = dbs
     assert db8.run_lines(sql) == db1.run_lines(sql)
+
+
+def test_distributed_randomized_scale():
+    """Randomized fact/dim workload (thousands of rows, duplicate + NULL
+    keys, zipf-ish skew) — exercises the g_cap overflow retry, multi-slot
+    probe strips, and the exact-equality collision re-check."""
+    import numpy as np
+
+    from sqlrs_tpu.data import DeviceBatch, Schema
+    from sqlrs_tpu.types import LogicalType as LT
+
+    rng = np.random.default_rng(42)
+    n, nd = 6007, 97
+    fk = np.minimum(rng.zipf(1.4, n), nd * 2).astype(np.int64)
+    fv = rng.integers(-50, 50, n).astype(np.int64)
+    fnull = rng.random(n) < 0.05
+    dk = np.arange(1, nd + 1, dtype=np.int64)
+    dname = np.array([f"grp{i}" for i in dk])
+
+    fact = DeviceBatch.from_pydict(
+        Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+        {"k": [None if m else int(x) for x, m in zip(fk, fnull)], "v": fv.tolist()},
+    )
+    dim = DeviceBatch.from_pydict(
+        Schema.of([("k", LT.BIGINT), ("name", LT.VARCHAR)]),
+        {"k": dk.tolist(), "name": dname.tolist()},
+    )
+    db1, db8 = Database(), Database(n_devices=8)
+    for db in (db1, db8):
+        db.create_memory_table("fact", fact)
+        db.create_memory_table("dim", dim)
+
+    for sql in [
+        "select name, sum(v), count(*), min(v), max(v) from fact"
+        " join dim on fact.k = dim.k group by name",
+        "select k, count(*), avg(v) from fact group by k",
+        "select count(*) from fact left join dim on fact.k = dim.k",
+        "select count(*), sum(fact.k) from fact right join dim on fact.k = dim.k",
+        "select sum(v) from fact where k > 50",
+    ]:
+        assert db8.run_lines(sql) == db1.run_lines(sql), sql
 
 
 def test_distributed_ddl_dml_roundtrip():
