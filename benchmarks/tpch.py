@@ -2,13 +2,18 @@
 
 The reference only scaffolds TPC-H (dbgen clone + query templates, no runner
 — reference Makefile:46-70). Here the engine actually runs the query shapes:
-a numpy dbgen-lite builds lineitem/orders/customer at a given scale, and the
-queries below exercise the TPC-H patterns the engine supports (Q1 grouped
-aggregation with date filter + CASE-free arithmetic, Q3 3-table join with
-group/order/limit, Q6 selective filter aggregate).
+a numpy dbgen-lite builds lineitem/orders/customer/part at a given scale,
+and the queries below exercise the TPC-H patterns the engine supports:
+Q1 grouped aggregation with date filter, Q3 3-table join with
+group/order/limit, Q6 selective filter aggregate, Q10 customer revenue
+join+group, Q12 shipmode CASE aggregation over a join, Q14 promo revenue
+ratio (LIKE + CASE + aggregate arithmetic).
 
 Usage:
-  python -m benchmarks.tpch [--rows 100000] [--check]
+  python -m benchmarks.tpch [--rows 100000] [--check] [--devices N]
+
+--devices N runs every query through the distributed engine
+(Database(n_devices=N)) instead of the single-device one.
 """
 
 from __future__ import annotations
@@ -45,6 +50,17 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
     status = np.array(["O", "F"])
     l_status = status[rng.integers(0, 2, n_lineitem)]
     l_ship = base + rng.integers(0, span, n_lineitem)
+    n_part = max(n_lineitem // 50, 1)
+    l_partkey = rng.integers(0, n_part, n_lineitem)
+    modes = np.array(["MAIL", "SHIP", "AIR", "TRUCK", "RAIL"])
+    l_shipmode = modes[rng.integers(0, 5, n_lineitem)]
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    o_prio = prios[rng.integers(0, 5, n_orders)]
+    ptypes = np.array(
+        ["PROMO BRUSHED", "PROMO PLATED", "STANDARD POLISHED", "ECONOMY ANODIZED",
+         "MEDIUM BURNISHED", "SMALL PLATED"]
+    )
+    p_type = ptypes[rng.integers(0, 6, n_part)]
 
     segs = np.array(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
     c_seg = segs[rng.integers(0, 5, n_cust)]
@@ -67,6 +83,8 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
                 ("l_returnflag", LT.VARCHAR),
                 ("l_linestatus", LT.VARCHAR),
                 ("l_shipdate", LT.DATE),
+                ("l_partkey", LT.BIGINT),
+                ("l_shipmode", LT.VARCHAR),
             ],
             [
                 [int(x) for x in l_orderkey],
@@ -77,6 +95,8 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
                 list(l_flag),
                 list(l_status),
                 [int(x) for x in l_ship],
+                [int(x) for x in l_partkey],
+                list(l_shipmode),
             ],
         ),
     )
@@ -87,11 +107,13 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
                 ("o_orderkey", LT.BIGINT),
                 ("o_custkey", LT.BIGINT),
                 ("o_orderdate", LT.DATE),
+                ("o_orderpriority", LT.VARCHAR),
             ],
             [
                 [int(x) for x in orders_key],
                 [int(x) for x in o_custkey],
                 [int(x) for x in o_date],
+                list(o_prio),
             ],
         ),
     )
@@ -102,10 +124,19 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
             [[int(x) for x in np.arange(n_cust)], list(c_seg)],
         ),
     )
+    db.create_memory_table(
+        "part",
+        mk(
+            [("p_partkey", LT.BIGINT), ("p_type", LT.VARCHAR)],
+            [[int(x) for x in np.arange(n_part)], list(p_type)],
+        ),
+    )
     return dict(
         l_orderkey=l_orderkey, l_qty=l_qty, l_price=l_price, l_disc=l_disc,
         l_tax=l_tax, l_flag=l_flag, l_status=l_status, l_ship=l_ship,
-        o_custkey=o_custkey, o_date=o_date, c_seg=c_seg, base=base,
+        l_partkey=l_partkey, l_shipmode=l_shipmode, p_type=p_type,
+        o_custkey=o_custkey, o_date=o_date, o_prio=o_prio, c_seg=c_seg,
+        base=base,
     )
 
 
@@ -142,6 +173,54 @@ where l_shipdate >= date '1994-01-01'
 """
 
 
+Q10 = """
+select c_custkey, sum(l_extendedprice * (1 - l_discount)) as revenue, count(*)
+from customer
+inner join orders on c_custkey = o_custkey
+inner join lineitem on l_orderkey = o_orderkey
+where l_returnflag = 'R'
+group by c_custkey
+order by revenue desc
+limit 20
+"""
+
+Q12 = """
+select l_shipmode,
+       sum(case when o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
+                then 1 else 0 end) as high_line_count,
+       sum(case when o_orderpriority <> '1-URGENT' and o_orderpriority <> '2-HIGH'
+                then 1 else 0 end) as low_line_count
+from orders
+inner join lineitem on o_orderkey = l_orderkey
+where l_shipmode in ('MAIL', 'SHIP')
+  and l_shipdate >= date '1994-01-01' and l_shipdate < date '1995-01-01'
+group by l_shipmode
+order by l_shipmode
+"""
+
+Q14 = """
+select 100.00 * sum(case when p_type like 'PROMO%'
+                         then l_extendedprice * (1 - l_discount) else 0.0 end)
+       / sum(l_extendedprice * (1 - l_discount)) as promo_revenue
+from lineitem
+inner join part on l_partkey = p_partkey
+where l_shipdate >= date '1995-09-01' and l_shipdate < date '1995-10-01'
+"""
+
+
+def check_q14(data) -> float:
+    from sqlrs_tpu.types.values import date_str_to_days
+
+    lo = date_str_to_days("1995-09-01")
+    hi = date_str_to_days("1995-10-01")
+    m = (data["l_ship"] >= lo) & (data["l_ship"] < hi)
+    rev = data["l_price"][m] * (1 - data["l_disc"][m])
+    promo = np.char.startswith(
+        data["p_type"][data["l_partkey"][m]].astype(str), "PROMO"
+    )
+    return float(100.0 * rev[promo].sum() / rev.sum())
+
+
 def check_q6(data) -> float:
     from sqlrs_tpu.types.values import date_str_to_days
 
@@ -161,16 +240,19 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="run distributed over an N-device mesh")
     args = ap.parse_args(argv)
 
     import sqlrs_tpu
 
-    db = sqlrs_tpu.Database()
+    db = sqlrs_tpu.Database(n_devices=args.devices)
     t0 = time.time()
     data = gen_data(db, args.rows)
     print(f"generated lineitem={args.rows} rows in {time.time()-t0:.1f}s")
 
-    for name, sql in [("Q1", Q1), ("Q3", Q3), ("Q6", Q6)]:
+    for name, sql in [("Q1", Q1), ("Q3", Q3), ("Q6", Q6), ("Q10", Q10),
+                      ("Q12", Q12), ("Q14", Q14)]:
         t0 = time.time()
         lines = db.run_lines(sql)
         dt = time.time() - t0
@@ -183,6 +265,10 @@ def main(argv=None) -> None:
         exp = check_q6(data)
         assert abs(got - exp) < 1e-6 * max(abs(exp), 1), (got, exp)
         print("Q6 oracle check: OK")
+        got14 = float(db.run_lines(Q14)[0])
+        exp14 = check_q14(data)
+        assert abs(got14 - exp14) < 1e-9 * max(abs(exp14), 1), (got14, exp14)
+        print("Q14 oracle check: OK")
 
 
 if __name__ == "__main__":

@@ -115,9 +115,15 @@ def main(argv=None) -> None:
         "(the reference slt harness behavior)",
     )
     ap.add_argument("-c", "--command", help="run one SQL string and exit")
+    ap.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="distributed session: row-shard tables over an N-device mesh",
+    )
     args = ap.parse_args(argv)
 
-    db = Database()
+    db = Database(n_devices=args.devices)
     if args.csv_dir:
         for p in sorted(glob.glob(os.path.join(args.csv_dir, "*.csv"))):
             db.create_csv_table(os.path.splitext(os.path.basename(p))[0], p)

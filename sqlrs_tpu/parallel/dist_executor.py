@@ -186,6 +186,21 @@ class DistributedExecutor:
             out.parts.append(p.take(ew.selection_to_indices(k)))
         return out
 
+    def _dexec_Limit(self, op: P.PhysicalLimit):
+        """LIMIT/OFFSET without materializing: a global prefix count of live
+        rows (XLA lowers the cumsum over the sharded axis to a collective
+        scan) masks rows outside the window — SURVEY.md §2.3 'per-host count
+        + prefix-sum across hosts'."""
+        child = self.execute(op.children[0])
+        if not isinstance(child, ShardedBatch) or child.parts:
+            return self._delegate(op, child)
+        offset = op.offset or 0
+        pos = jnp.cumsum(child.alive.astype(jnp.int64)) - 1  # rank among live
+        keep = child.alive & (pos >= offset)
+        if op.limit is not None:
+            keep = keep & (pos < offset + op.limit)
+        return ShardedBatch(child.schema, child.columns, keep, self.mesh)
+
     # ---- ungrouped aggregation: local partials + XLA-inserted psum ----------------
 
     def _dexec_SimpleAgg(self, op: P.PhysicalSimpleAgg):

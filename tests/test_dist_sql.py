@@ -64,6 +64,13 @@ QUERIES = [
     "select department_name, sum(salary), count(*) from employee"
     " join department on employee.department_id = department.id"
     " group by department_name",
+    # limit/offset windowing via global prefix count (stays sharded)
+    "select first_name from employee limit 2",
+    "select first_name from employee limit 2 offset 1",
+    "select id from employee where salary > 100 limit 1 offset 1",
+    # distinct (group-by-all through the distributed partial-agg path)
+    "select distinct state from employee",
+    "select distinct last_name, state from employee",
     # join feeding ORDER BY / LIMIT (materialize boundary)
     "select first_name, department_name from employee"
     " join department on employee.department_id = department.id"
