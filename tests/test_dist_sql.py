@@ -84,6 +84,24 @@ def test_distributed_matches_single_device(dbs, sql):
     assert db8.run_lines(sql) == db1.run_lines(sql)
 
 
+def test_distributed_prepared_statements(dbs):
+    """ClientContext prepared statements honor the session mesh."""
+    db1, db8 = dbs
+    ctx = db8.connect()
+    prepared = ctx.prepare("select state, count(*) from employee group by state")
+    got = ctx.execute_prepared(prepared)
+    exp = db1.run_lines("select state, count(*) from employee group by state")
+    from sqlrs_tpu.utils.render import batches_to_slt_lines
+
+    assert batches_to_slt_lines(got.batches) == exp
+
+
+def test_distributed_having(dbs):
+    db1, db8 = dbs
+    sql = "select state, sum(salary) from employee group by state having sum(salary) > 100"
+    assert db8.run_lines(sql) == db1.run_lines(sql)
+
+
 def test_distributed_randomized_scale():
     """Randomized fact/dim workload (thousands of rows, duplicate + NULL
     keys, zipf-ish skew) — exercises the g_cap overflow retry, multi-slot
