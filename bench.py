@@ -73,10 +73,12 @@ def main() -> None:
     fact_vals = jnp.asarray(fact_vals_np)
     dim_keys = jnp.asarray(dim_keys_np)
 
-    # packed strategy: values fit in 7 bits and keys in 56, so key+value sort
-    # as ONE int64 operand (half the sort traffic; ops/pipelines.py)
+    # direct strategy: key+value packed into ONE int64 sort operand, then
+    # per-group sums via block prefix sums + a merge-ranked range query per
+    # dim key — no run detection, no N-sized cumsum, no per-query binary
+    # search (ops/pipelines.py join_groupby_direct)
     assert int(fact_vals_np.max()) < (1 << 7) and int(fact_keys_np.max()) < (1 << 56)
-    fn = make_join_groupby(groups, strategy="sorted_packed")
+    fn = make_join_groupby(groups, strategy="direct")
     sums, counts = fn(fact_keys, fact_vals, dim_keys)  # compile + warm
     sums.block_until_ready()
 
@@ -115,7 +117,7 @@ def main() -> None:
                         rows_per_sec / roofline_rows, 5
                     ),
                     "device": jax.devices()[0].device_kind,
-                    "algorithm": "packed sort-merge join+group-by (ops/pipelines.py)",
+                    "algorithm": "direct packed-sort + block-prefix + merge-ranked range queries (ops/pipelines.py join_groupby_direct)",
                 },
             }
         )

@@ -143,8 +143,153 @@ def join_groupby_sorted_packed(
     return sums[:n_groups], counts[:n_groups], n_runs
 
 
-def make_join_groupby(n_groups: int, strategy: str = "sorted", slack: int = 2):
-    """strategy 'sorted' (TPU-fast sort-merge) or 'hash' (open addressing)."""
+def _sorted_ranks_left(sp2d, queries):
+    """searchsorted(sp.ravel(), queries, side='left') for a block-reshaped
+    sorted array — via ONE small merge sort of (block minima ++ queries) and
+    one gathered block row per query, instead of log2(N) latency-bound HBM
+    gathers per query (25 levels × Q on v5e).
+
+    For each query q let c = #block-minima strictly < q (from the merged
+    order). Every block >= c holds only elements >= q, every block < c-1
+    only elements < q, and block c-1 is ranked by a 128-wide row scan:
+        count_ge(q) = (nb - c)·blk + rank_ge(row[c-1], q)
+        rank_left(q) = n - count_ge(q).
+    """
+    nb, blk = sp2d.shape
+    n = nb * blk
+    q = queries
+    nq = q.shape[0]
+    vals = jnp.concatenate([sp2d[:, 0], q])
+    # ties: queries (tag 0) sort before equal block minima (tag 1), so equal
+    # minima are NOT counted as "strictly before"
+    tags = jnp.concatenate(
+        [jnp.ones((nb,), jnp.int32), jnp.zeros((nq,), jnp.int32)]
+    )
+    ids = jnp.concatenate(
+        [jnp.arange(nb, dtype=jnp.int32), jnp.arange(nq, dtype=jnp.int32)]
+    )
+    _, st, si = lax.sort((vals, tags, ids), num_keys=2)
+    pos = jnp.arange(nb + nq, dtype=jnp.int64)
+    is_q = st == 0
+    qrank = jnp.cumsum(is_q.astype(jnp.int64)) - 1
+    c_at = pos - qrank
+    c = (
+        jnp.zeros((nq + 1,), jnp.int64)
+        .at[jnp.where(is_q, si.astype(jnp.int64), nq)]
+        .set(c_at)[:nq]
+    )
+    rows = sp2d[jnp.clip(c - 1, 0, nb - 1)]
+    rank_ge = jnp.sum((rows >= q[:, None]).astype(jnp.int64), axis=1)
+    count_ge = jnp.where(c == 0, n, (nb - c) * blk + rank_ge)
+    return n - count_ge
+
+
+@partial(jax.jit, static_argnames=("n_groups", "val_bits", "pack32"))
+def join_groupby_direct(
+    fact_keys, fact_vals, dim_keys_sorted, dim_perm, n_groups: int,
+    val_bits: int, pack32: bool,
+):
+    """The speed-of-light formulation of fact⋈dim + GROUP BY dim_row for
+    unique dim keys: sort + prefix sum + 2G binary searches. No run-boundary
+    detection, no rid cumsum, no N-sized gathers at all.
+
+    Because the dim keys are known up front, the per-key ranges in the packed
+    sorted array are found by searching the PACKED domain directly
+    ([key << vb, (key+1) << vb)), and per-key sums are prefix-sum differences
+    at those 2G positions:
+
+        packed = key << vb | value        (int32 when ranges allow — the sort
+                                           is HBM-bound; 32-bit halves traffic:
+                                           measured 314M vs 232M elem/s on v5e)
+        sp  = sort(packed)                — the ONLY O(N log N) step
+        cs  = cumsum(sp & vmask)          — one streaming pass
+        lo/hi = searchsorted(sp, dim<<vb / (dim+1)<<vb)
+        sum = cs[hi-1] - cs[lo-1]; cnt = hi - lo   — G-sized
+        scatter by dim_perm                         — G-sized
+
+    Requires 0 <= value < 2^val_bits and key < 2^(31-val_bits) (pack32) or
+    2^(63-val_bits). Keys not in dim are skipped by construction (their
+    ranges are never queried). Misses still occupy sort slots — same as every
+    other formulation."""
+    if pack32:
+        packed = (fact_keys.astype(jnp.int32) << val_bits) | fact_vals.astype(
+            jnp.int32
+        )
+        dlo = (dim_keys_sorted.astype(jnp.int32) << val_bits)
+        dhi = ((dim_keys_sorted.astype(jnp.int32) + 1) << val_bits)
+    else:
+        packed = (fact_keys << val_bits) | fact_vals
+        dlo = dim_keys_sorted << val_bits
+        dhi = (dim_keys_sorted + 1) << val_bits
+    n = packed.shape[0]
+    # pad to a block multiple with dtype-max (sorts last, outside every dim
+    # range — caller contract: max key < 2^(31-vb)-1 / 2^(63-vb)-1)
+    blk = 128
+    pad = (-n) % blk
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.full((pad,), jnp.iinfo(packed.dtype).max, packed.dtype)]
+        )
+    sp = lax.sort(packed)
+    vmask = (1 << val_bits) - 1
+    nb = sp.shape[0] // blk
+    sp2d = sp.reshape(nb, blk)
+    v2d = (sp2d & vmask).astype(jnp.int32)
+    # prefix sums only at the 2G query positions: one block-reduce pass +
+    # a tiny block prefix + (2G, blk) in-block gathers — instead of a full
+    # N cumsum (measured 65 ms for 33.5M int64 on v5e)
+    bs = jnp.sum(v2d.astype(jnp.int64), axis=1)
+    bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
+
+    # rank queries: searchsorted costs log2(N) latency-bound HBM gathers per
+    # query (measured 133 ms for 2G=131K queries over 33.5M on v5e); instead
+    # MERGE the sorted block minima with the sorted queries via one tiny
+    # (nb+2G) sort, then rank inside a single gathered block per query
+    queries = jnp.concatenate([dlo, dhi])
+    lo_hi = _sorted_ranks_left(sp2d, queries)
+    g = dlo.shape[0]
+    lo, hi = lo_hi[:g], lo_hi[g:]
+
+    lane = jnp.arange(blk, dtype=jnp.int32)
+
+    def prefix_at(p):  # sum of the first p sorted values
+        b = p // blk
+        rem = (p % blk).astype(jnp.int32)
+        rows = v2d[jnp.clip(b, 0, nb - 1)]
+        part = jnp.sum(
+            jnp.where(lane[None, :] < rem[:, None], rows, 0).astype(jnp.int64),
+            axis=1,
+        )
+        return bp[b] + part
+
+    sum_sorted = prefix_at(hi) - prefix_at(lo)
+    cnt_sorted = (hi - lo).astype(jnp.int64)
+    sums = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
+    counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
+    return sums, counts
+
+
+def make_join_groupby(n_groups: int, strategy: str = "direct", slack: int = 2):
+    """strategy 'direct' (sort + prefix sum + 2G binary searches — the
+    headline path), 'sorted'/'sorted_packed' (run-boundary sort-merge), or
+    'hash' (open addressing)."""
+    if strategy == "direct":
+
+        def fn_direct(
+            fact_keys, fact_vals, dim_keys, val_bits: int = 7,
+            pack32: bool = False,
+        ):
+            # pack32 is the caller's contract: max(key) < 2^(31-val_bits)
+            # and 0 <= value < 2^val_bits (host-known table metadata)
+            order = jnp.argsort(dim_keys)
+            dim_sorted = dim_keys[order]
+            return join_groupby_direct(
+                fact_keys, fact_vals, dim_sorted, order, n_groups,
+                val_bits, pack32,
+            )
+
+        return fn_direct
+
     if strategy == "hash":
         capacity = next_pow2(max(2 * n_groups, 16))
 

@@ -153,6 +153,10 @@ class DistributedExecutor:
 
     # ---- scans -----------------------------------------------------------------
 
+    def _dexec_Explain(self, op):
+        # plan strings are pre-materialized; never execute the child
+        return _DelegatingExecutor(self.db, {}).execute(op)
+
     def _dexec_TableScan(self, op: P.PhysicalTableScan):
         fn = self.db.catalog.table_function(op.function_name)
         batch = fn.execute(self.db, op.bind_data, op.projection, op.bounds)

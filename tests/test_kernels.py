@@ -125,3 +125,32 @@ def test_packed_pipeline_matches_plain():
     s2, c2 = make_join_groupby(groups, strategy="sorted_packed")(fk, fv, dk, val_bits=8)
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    # the direct (headline) strategy must agree too, in both packings
+    s3, c3 = make_join_groupby(groups, strategy="direct")(fk, fv, dk, 8, False)
+    s4, c4 = make_join_groupby(groups, strategy="direct")(fk, fv, dk, 8, True)
+    assert np.array_equal(np.asarray(s1), np.asarray(s3))
+    assert np.array_equal(np.asarray(c1), np.asarray(c3))
+    assert np.array_equal(np.asarray(s1), np.asarray(s4))
+    assert np.array_equal(np.asarray(c1), np.asarray(c4))
+
+
+def test_direct_pipeline_misses_and_odd_sizes():
+    from sqlrs_tpu.ops.pipelines import make_join_groupby
+
+    rng = np.random.default_rng(11)
+    n, groups = 9_973, 64  # prime n exercises block padding
+    gid = rng.integers(0, groups, n)
+    dim_keys = np.arange(groups, dtype=np.int64) * 1013904223 + 12345
+    fk = dim_keys[gid].copy()
+    fk[::11] = 7  # misses (absent from dim)
+    fv = rng.integers(0, 100, n).astype(np.int64)
+    m = fk != 7
+    exp_s = np.zeros(groups, np.int64)
+    exp_c = np.zeros(groups, np.int64)
+    np.add.at(exp_s, gid[m], fv[m])
+    np.add.at(exp_c, gid[m], 1)
+    s, c = make_join_groupby(groups, strategy="direct")(
+        jnp.asarray(fk), jnp.asarray(fv), jnp.asarray(dim_keys)
+    )
+    assert np.array_equal(np.asarray(s), exp_s)
+    assert np.array_equal(np.asarray(c), exp_c)
