@@ -20,6 +20,7 @@ value-keyed sort anyway).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -63,7 +64,13 @@ def sorted_grouped_aggregate(
 ):
     """agg_specs: (function_name, input column or None for count(*),
     result logical type). Returns (group_cols, agg_cols, n_groups) with
-    groups in first-appearance order. No DISTINCT here (caller gates)."""
+    groups in first-appearance order. No DISTINCT here (caller gates).
+
+    Compiled as TWO jit programs split only at the n_groups host sync (the
+    data-dependent output size): phase 1 = variadic sort + run detection,
+    phase 2 = per-run reduction + first-appearance placement. A GROUP BY is
+    a handful of dispatches regardless of key/aggregate count — essential
+    when dispatch latency is high (remote TPU relays)."""
     n = len(key_cols[0])
     if n == 0:
         return (
@@ -75,7 +82,7 @@ def sorted_grouped_aggregate(
             0,
         )
 
-    # ---- one variadic sort ------------------------------------------------
+    # ---- operand assembly (host) -----------------------------------------
     sort_keys = []
     for c in key_cols:
         key, valid = orderable_key(c)
@@ -86,12 +93,9 @@ def sorted_grouped_aggregate(
     for c in key_cols:  # raw key data + validity for output reconstruction
         payloads.append(_sortable(c.data))
         payloads.append(c.valid.astype(jnp.int32))
-    agg_payload_ix = []
     for name, col, _ in agg_specs:
         if col is None:
-            agg_payload_ix.append(None)
             continue
-        agg_payload_ix.append(len(payloads))
         payloads.append(_sortable(col.data))
         payloads.append(col.valid.astype(jnp.int32))
         if col.type == LogicalType.VARCHAR and name in ("min", "max"):
@@ -99,109 +103,173 @@ def sorted_grouped_aggregate(
             rank, _ = orderable_key(col)
             payloads.append(rank)
 
-    out = lax.sort(tuple(sort_keys + payloads), num_keys=num_keys)
-    s_keys = out[:num_keys]
-    s_payloads = list(out[num_keys:])
+    spec = (
+        tuple(c.type for c in key_cols),
+        tuple((name, col.type if col is not None else None, rt)
+              for name, col, rt in agg_specs),
+    )
 
-    # ---- run boundaries -----------------------------------------------------
+    out, new_run, rid, n_runs = _agg_phase1(
+        tuple(sort_keys + payloads), num_keys
+    )
+    n_groups = int(n_runs)  # pipeline-breaker sync
+    r_cap = next_pow2(max(n_groups, 8))
+
+    gdata, gvalid, adata, avalid = _agg_phase2(
+        out, new_run, rid, n_runs, num_keys, spec, r_cap
+    )
+
+    group_cols = [
+        Column(c.type, d[:n_groups], v[:n_groups])
+        for c, d, v in zip(key_cols, gdata, gvalid)
+    ]
+    agg_cols = [
+        Column(rt, d[:n_groups], v[:n_groups])
+        for (_, _, rt), d, v in zip(agg_specs, adata, avalid)
+    ]
+    return group_cols, agg_cols, n_groups
+
+
+_BLK = 128
+
+
+@partial(jax.jit, static_argnames=("num_keys",))
+def _agg_phase1(ops, num_keys: int):
+    """Variadic sort + run-boundary detection; returns the sorted operands,
+    the run-start mask, run ids, and the run count (device scalar)."""
+    out = lax.sort(tuple(ops), num_keys=num_keys)
+    n = out[0].shape[0]
     new_run = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
-    for arr in s_keys:
+    for arr in out[:num_keys]:
         d = arr[1:] != arr[:-1]
         new_run = new_run.at[1:].set(jnp.logical_or(new_run[1:], d))
     rid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-    n_groups = int(rid[-1]) + 1  # pipeline-breaker sync
-    r_cap = next_pow2(max(n_groups, 8))
+    return out, new_run, rid, rid[-1] + 1
+
+
+@partial(jax.jit, static_argnames=("num_keys", "spec", "r_cap"))
+def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
+    """Per-run reduction + first-appearance placement at static capacity
+    r_cap (outputs are r_cap-sized; the caller slices to n_groups).
+
+    Run ends come from the merge-rank trick (searchsorted costs log2(N)
+    latency-bound HBM gathers per query — measured 133 ms for 131K queries
+    over 33.5M rows on v5e; a tiny merge sort + one 128-wide row scan per
+    query is ~10x cheaper, ops/pipelines._sorted_ranks_left), and per-run
+    sums are prefix differences with prefixes computed ONLY at the 2R query
+    positions (one block-reduce pass instead of a full-N cumsum — 65 ms for
+    33.5M int64 on v5e)."""
+    from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
+
+    key_types, agg_items = spec
+    s_payloads = list(out[num_keys:])
+    n = out[0].shape[0]
+    pad_n = (-n) % _BLK
+
+    def _pad_to_blocks(arr, fill):
+        if pad_n == 0:
+            return arr
+        return jnp.concatenate([arr, jnp.full((pad_n,), fill, arr.dtype)])
 
     r = jnp.arange(r_cap, dtype=jnp.int32)
-    ends = jnp.searchsorted(rid, r, side="right")
+    rid_p = _pad_to_blocks(rid, np.iinfo(np.int32).max)
+    ends = _sorted_ranks_left(rid_p.reshape(-1, _BLK), r + 1)  # side='right'
     prev_end = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
-    live = r < n_groups
+    live = r < n_runs
     last = jnp.clip(ends - 1, 0, n - 1)
+    lane = jnp.arange(_BLK, dtype=jnp.int32)
 
     def run_sum(arr):
-        cs = jnp.cumsum(arr)
-        base = jnp.where(prev_end > 0, cs[jnp.clip(prev_end - 1, 0, n - 1)], 0)
-        return cs[last] - base
+        a2 = _pad_to_blocks(arr, 0).reshape(-1, _BLK)
+        nb = a2.shape[0]
+        bs = jnp.sum(a2, axis=1)
+        bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
 
-    # ---- first-appearance order ---------------------------------------------
+        def prefix_at(pos):
+            b = pos // _BLK
+            rem = (pos % _BLK).astype(jnp.int32)
+            rows = a2[jnp.clip(b, 0, nb - 1)]
+            part = jnp.sum(
+                jnp.where(lane[None, :] < rem[:, None], rows, 0), axis=1
+            )
+            return bp[b] + part
+
+        return prefix_at(ends) - prefix_at(prev_end)
+
+    # ---- first-appearance order -------------------------------------------
     row_idx = s_payloads[0]
     rep_v, _ = _seg_scan_best(row_idx, row_idx, new_run, want_min=True)
     rep = jnp.where(live, rep_v[last], np.iinfo(np.int32).max)
     order_of_run = jnp.argsort(jnp.argsort(rep))  # rank in first-appearance order
 
     def place(vals_runs, dtype=None):
-        """Permute run-indexed array into first-appearance group order."""
-        out = jnp.zeros((r_cap,), vals_runs.dtype if dtype is None else dtype)
-        return out.at[order_of_run].set(vals_runs)[:n_groups]
+        buf = jnp.zeros((r_cap,), vals_runs.dtype if dtype is None else dtype)
+        return buf.at[order_of_run].set(vals_runs)
 
-    # ---- group key output columns ---------------------------------------------
-    group_cols = []
+    ones = jnp.ones(r_cap, jnp.bool_)
+
+    # ---- group key output columns -------------------------------------------
+    gdata, gvalid = [], []
     p = 1
-    for c in key_cols:
+    for kt in key_types:
         raw = s_payloads[p]
         valid = s_payloads[p + 1]
         p += 2
-        data = place(raw[last])
-        v = place((valid[last] > 0).astype(jnp.int32)) > 0
-        group_cols.append(Column(c.type, _unsortable(data, c.type), v))
+        gdata.append(_unsortable(place(raw[last]), kt))
+        gvalid.append(place((valid[last] > 0).astype(jnp.int32)) > 0)
 
-    # ---- aggregates ---------------------------------------------------------------
-    agg_cols = []
-    for spec_i, (name, col, rt) in enumerate(agg_specs):
-        if col is None:
+    # ---- aggregates -----------------------------------------------------------
+    adata, avalid = [], []
+    for name, ct, rt in agg_items:
+        if ct is None:  # count(*)
             cnt = (ends - prev_end).astype(jnp.int64)
-            agg_cols.append(
-                Column(LogicalType.BIGINT, place(jnp.where(live, cnt, 0)),
-                       jnp.ones(n_groups, jnp.bool_))
-            )
+            adata.append(place(jnp.where(live, cnt, 0)))
+            avalid.append(ones)
             continue
-        base_ix = agg_payload_ix[spec_i]
-        data = s_payloads[base_ix]
-        valid = s_payloads[base_ix + 1] > 0
+        data = s_payloads[p]
+        valid = s_payloads[p + 1] > 0
+        p += 2
+        if ct == LogicalType.VARCHAR and name in ("min", "max"):
+            rank = s_payloads[p]
+            p += 1
         counts = run_sum(valid.astype(jnp.int64))
         has_any = counts > 0
         if name == "count":
-            agg_cols.append(
-                Column(LogicalType.BIGINT, place(jnp.where(live, counts, 0)),
-                       jnp.ones(n_groups, jnp.bool_))
-            )
+            adata.append(place(jnp.where(live, counts, 0)))
+            avalid.append(ones)
             continue
         if name in ("sum", "avg"):
             acc_t = LogicalType.DOUBLE if name == "avg" else rt
-            vals = _unsortable(data, col.type).astype(numpy_dtype_for(acc_t))
-            s = run_sum(jnp.where(valid, vals, 0))
+            vals = _unsortable(data, ct).astype(numpy_dtype_for(acc_t))
+            sm = run_sum(jnp.where(valid, vals, 0))
             if name == "avg":
-                s = s / jnp.maximum(counts, 1).astype(jnp.float64)
-            agg_cols.append(
-                Column(rt, place(s), place(has_any.astype(jnp.int32)) > 0)
-            )
+                sm = sm / jnp.maximum(counts, 1).astype(jnp.float64)
+            adata.append(place(sm).astype(numpy_dtype_for(rt)))
+            avalid.append(place(has_any.astype(jnp.int32)) > 0)
             continue
         if name in ("min", "max"):
-            if col.type == LogicalType.VARCHAR:
-                rank = s_payloads[base_ix + 2]
+            if ct == LogicalType.VARCHAR:
                 big = jnp.iinfo(jnp.int64).max
                 v = jnp.where(valid, rank, big if name == "min" else -big)
                 _, best_code = _seg_scan_best(v, data, new_run, name == "min")
                 out_data = place(best_code[last])
             else:
-                info_dt = numpy_dtype_for(col.type)
-                if col.type.is_float():
+                info_dt = numpy_dtype_for(ct)
+                if ct.is_float():
                     sentinel = np.inf if name == "min" else -np.inf
                 else:
                     ii = np.iinfo(info_dt)
                     sentinel = ii.max if name == "min" else ii.min
-                vals = _unsortable(data, col.type)
+                vals = _unsortable(data, ct)
                 v = jnp.where(valid, vals, jnp.asarray(sentinel, vals.dtype))
                 best, _ = _seg_scan_best(v, v, new_run, name == "min")
                 out_data = place(best[last])
-            agg_cols.append(
-                Column(rt, out_data.astype(numpy_dtype_for(rt)),
-                       place(has_any.astype(jnp.int32)) > 0)
-            )
+            adata.append(out_data.astype(numpy_dtype_for(rt)))
+            avalid.append(place(has_any.astype(jnp.int32)) > 0)
             continue
         raise ExecutorError(f"unknown aggregate {name}")
 
-    return group_cols, agg_cols, n_groups
+    return tuple(gdata), tuple(gvalid), tuple(adata), tuple(avalid)
 
 
 def partial_grouped_fixed(alive, row_idx, keys, aggs, g_cap: int):
