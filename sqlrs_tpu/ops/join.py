@@ -5,72 +5,121 @@ Replaces the reference's build/probe HashMap<u64, Vec<row>> hash join
 sorted search: both sides' key columns are mapped to shared integer key ids
 (exact equality — unlike the reference, which matches on 64-bit hash only,
 TODO at hash_join.rs:221-224), the build side is sorted by key id, and each
-probe row finds its match run via binary search. Match emission order equals
-the reference's: probe (right) row outer, build (left) rows in insertion
-order.
+probe row finds its match run via merge-ranked range queries. Match emission
+order equals the reference's: probe (right) row outer, build (left) rows in
+insertion order.
 
 NULL join keys never match (SQL equality semantics).
 
-The index-pair expansion is currently computed host-side with numpy (the
-counts prefix-sum and gather are cheap relative to materialization); the
-Pallas open-addressing table (ops/hash_table.py) is the on-device scale path
-used by the benchmark pipeline.
+Device-resident end to end: TWO jit programs split at the single
+pair-count host sync —
+
+  phase A: one variadic sort of the concatenated key columns assigns shared
+  key ids (exact multi-column equality, NULL-aware), the build side is
+  stably sorted by key id, and per-probe-row match ranges come from the
+  merge-rank trick (ops/pipelines._sorted_ranks_left — no per-query binary
+  search);
+  phase B (static total): expands ranges into (left_row, right_row) pairs
+  with jnp.repeat(total_repeat_length=...).
+
+No N-sized host round-trips (the old formulation shipped every key id
+through numpy — hundreds of MB per join over a remote-TPU relay).
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from sqlrs_tpu.data import Column
-from sqlrs_tpu.ops.grouping import group_ids
+from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
+from sqlrs_tpu.ops.sort import orderable_key
+
+_BLK = 128
 
 
-def join_key_ids(
-    left_keys: list[Column], right_keys: list[Column]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Shared key ids across both sides + per-row all-keys-valid masks."""
-    nl = len(left_keys[0])
-    combined = [
-        Column(
-            l.type,
-            jnp.concatenate([l.data, r.data.astype(l.data.dtype)]),
-            jnp.concatenate([l.valid, r.valid]),
-        )
-        for l, r in zip(left_keys, right_keys)
-    ]
-    gid, _ = group_ids(combined)
-    gid = np.asarray(gid)
-    lvalid = np.ones(nl, dtype=np.bool_)
-    rvalid = np.ones(len(right_keys[0]), dtype=np.bool_)
-    for l, r in zip(left_keys, right_keys):
-        lvalid &= l.valid_np()
-        rvalid &= r.valid_np()
-    return gid[:nl], gid[nl:], lvalid, rvalid
+@partial(jax.jit, static_argnames=("num_keys", "nl"))
+def _pairs_phase_a(ops, num_keys: int, nl: int):
+    """ops: per key column (valid int32, encoded key) over the CONCATENATED
+    rows (left ++ right), then payload (row position). Returns per-probe-row
+    (starts, counts) into the build side sorted by key id, plus the stably
+    sorted build row order and the total pair count."""
+    out = lax.sort(tuple(ops), num_keys=num_keys)
+    n = out[0].shape[0]
+    nr = n - nl
+    # key ids from run boundaries over the sorted key fields
+    boundary = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
+    for arr in out[:num_keys]:
+        d = arr[1:] != arr[:-1]
+        boundary = boundary.at[1:].set(jnp.logical_or(boundary[1:], d))
+    gid_sorted = jnp.cumsum(boundary.astype(jnp.int64)) - 1
+    pos = out[num_keys]  # original row position (left: [0,nl), right: nl+j)
+    gid = jnp.zeros(n, dtype=jnp.int64).at[pos].set(gid_sorted)
+    # all-keys-valid masks (valid fields are the even sort operands)
+    allvalid = jnp.ones(n, dtype=jnp.bool_)
+    for arr in ops[0:num_keys:2]:
+        allvalid = allvalid & (arr > 0)
+    lg, rg = gid[:nl], gid[nl:]
+    lvalid, rvalid = allvalid[:nl], allvalid[nl:]
+
+    big = jnp.int64(jnp.iinfo(jnp.int64).max)
+    lg_m = jnp.where(lvalid, lg, big)  # invalid build rows sort last
+    order = jnp.argsort(lg_m, stable=True)  # insertion order within key
+    lg_sorted = lg_m[order]
+
+    pad = (-nl) % _BLK
+    lg2d = (
+        jnp.concatenate([lg_sorted, jnp.full((pad,), big)]) if pad else lg_sorted
+    ).reshape(-1, _BLK)
+    probe_g = jnp.where(rvalid, rg, -1)
+    ranks = _sorted_ranks_left(lg2d, jnp.concatenate([probe_g, probe_g + 1]))
+    starts, ends = ranks[:nr], ranks[nr:]
+    counts = jnp.where(rvalid, ends - starts, 0)
+    return starts, counts, order, jnp.sum(counts)
+
+
+@partial(jax.jit, static_argnames=("total",))
+def _pairs_phase_b(starts, counts, order, total: int):
+    nr = counts.shape[0]
+    r_idx = jnp.repeat(
+        jnp.arange(nr, dtype=jnp.int64), counts, total_repeat_length=total
+    )
+    base = jnp.repeat(
+        jnp.cumsum(counts) - counts, counts, total_repeat_length=total
+    )
+    pos = jnp.arange(total, dtype=jnp.int64) - base + jnp.repeat(
+        starts, counts, total_repeat_length=total
+    )
+    l_idx = order[jnp.clip(pos, 0, order.shape[0] - 1)]
+    return l_idx, r_idx
 
 
 def equi_join_pairs(
     left_keys: list[Column], right_keys: list[Column]
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """All matching (left_row, right_row) pairs, ordered by (right_row,
-    left_row) to reproduce the reference's probe-order emission
-    (hash_join.rs:207-250)."""
-    lg, rg, lvalid, rvalid = join_key_ids(left_keys, right_keys)
-    l_rows = np.nonzero(lvalid)[0]
-    lg = lg[l_rows]
-    order = np.argsort(lg, kind="stable")  # stable: insertion order within key
-    lg_sorted = lg[order]
-    l_rows_sorted = l_rows[order]
-
-    probe_g = np.where(rvalid, rg, -1)
-    starts = np.searchsorted(lg_sorted, probe_g, side="left")
-    ends = np.searchsorted(lg_sorted, probe_g, side="right")
-    counts = np.where(rvalid, ends - starts, 0)
-    total = int(counts.sum())
+    left insertion order) to reproduce the reference's probe-order emission
+    (hash_join.rs:207-250). ONE host sync (the pair count)."""
+    nl = len(left_keys[0])
+    nr = len(right_keys[0])
+    if nl == 0 or nr == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    ops: list = []
+    for l, r in zip(left_keys, right_keys):
+        lk, lv = orderable_key(l)
+        rk, rv = orderable_key(r)
+        valid = jnp.concatenate([lv, rv]).astype(jnp.int32)
+        key = jnp.concatenate([lk, rk.astype(lk.dtype)])
+        ops.append(valid)
+        ops.append(jnp.where(valid > 0, key, 0))
+    num_keys = len(ops)
+    ops.append(jnp.arange(nl + nr, dtype=jnp.int64))  # payload: row position
+    starts, counts, order, total = _pairs_phase_a(tuple(ops), num_keys, nl)
+    total = int(total)  # the single pipeline-breaker sync
     if total == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    r_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    base = np.repeat(np.cumsum(counts) - counts, counts)
-    pos = np.arange(total, dtype=np.int64) - base + np.repeat(starts, counts)
-    l_idx = l_rows_sorted[pos]
-    return l_idx.astype(np.int64), r_idx
+    return _pairs_phase_b(starts, counts, order, total)
