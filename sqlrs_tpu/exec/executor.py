@@ -30,7 +30,7 @@ from sqlrs_tpu.ops.grouping import (
     seg_sum,
 )
 from sqlrs_tpu.ops.join import equi_join_pairs
-from sqlrs_tpu.ops.sort import orderable_key, sort_indices
+from sqlrs_tpu.ops.sort import orderable_key, sort_rows
 from sqlrs_tpu.plan import physical as P
 from sqlrs_tpu.storage.memory import DataTable, null_column
 from sqlrs_tpu.types import LogicalType, numpy_dtype_for
@@ -98,7 +98,8 @@ class Executor:
         if child.num_rows == 0:
             return child
         keys = [(execute_expr(e, child), asc) for e, asc in op.items]
-        return child.take(sort_indices(keys))
+        cols = sort_rows(keys, child.columns)
+        return DeviceBatch(child.schema, cols, child.num_rows)
 
     # ---- aggregation ------------------------------------------------------------
 

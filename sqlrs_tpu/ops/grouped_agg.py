@@ -89,19 +89,27 @@ def sorted_grouped_aggregate(
         sort_keys.append(valid.astype(jnp.int32))
         sort_keys.append(jnp.where(valid, key, 0))
     num_keys = len(sort_keys)
-    payloads: list = [jnp.arange(n, dtype=jnp.int32)]  # row index (rep order)
+    # the row index rides as the LEAST-SIGNIFICANT SORT KEY, so each run's
+    # first sorted row is its first-appearance representative — no segmented
+    # min scan needed (associative_scan unrolls log2(N) HLO stages and
+    # dominated compile time)
+    payloads: list = [jnp.arange(n, dtype=jnp.int32)]
     for c in key_cols:  # raw key data + validity for output reconstruction
         payloads.append(_sortable(c.data))
         payloads.append(c.valid.astype(jnp.int32))
     for name, col, _ in agg_specs:
         if col is None:
             continue
+        if col.type == LogicalType.VARCHAR and name in ("min", "max"):
+            # one packed (rank << 32 | code) payload: min/max by rank carries
+            # the winning dictionary code along
+            rank, _ = orderable_key(col)
+            code_u = col.data.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+            payloads.append((rank.astype(jnp.int64) << 32) | code_u)
+            payloads.append(col.valid.astype(jnp.int32))
+            continue
         payloads.append(_sortable(col.data))
         payloads.append(col.valid.astype(jnp.int32))
-        if col.type == LogicalType.VARCHAR and name in ("min", "max"):
-            # ordered string aggs need the rank view co-sorted too
-            rank, _ = orderable_key(col)
-            payloads.append(rank)
 
     spec = (
         tuple(c.type for c in key_cols),
@@ -136,8 +144,10 @@ _BLK = 128
 @partial(jax.jit, static_argnames=("num_keys",))
 def _agg_phase1(ops, num_keys: int):
     """Variadic sort + run-boundary detection; returns the sorted operands,
-    the run-start mask, run ids, and the run count (device scalar)."""
-    out = lax.sort(tuple(ops), num_keys=num_keys)
+    the run-start mask, run ids, and the run count (device scalar). The row
+    index (first payload) participates as the least-significant sort key —
+    run boundaries are computed over the true key fields only."""
+    out = lax.sort(tuple(ops), num_keys=num_keys + 1)
     n = out[0].shape[0]
     new_run = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
     for arr in out[:num_keys]:
@@ -196,10 +206,51 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
 
         return prefix_at(ends) - prefix_at(prev_end)
 
+    nb_all = (n + pad_n) // _BLK
+    rid_blocks_first = rid_p[::_BLK]
+    rid_blocks_last = rid_p[_BLK - 1 :: _BLK]
+    whole_blk = rid_blocks_first == rid_blocks_last
+    e1 = jnp.maximum(ends, 1) - 1
+    bs_ = prev_end // _BLK
+    rs_ = (prev_end % _BLK).astype(jnp.int32)
+    be_ = e1 // _BLK
+    re_ = (e1 % _BLK).astype(jnp.int32) + 1
+    same_blk = bs_ == be_
+
+    def run_minmax(arr, want_min, sentinel):
+        """Segmented min/max over the sorted runs WITHOUT an associative
+        scan (whose log2(N) unrolled stages dominated compile time): one
+        block-reduce pass, an nb-sized scatter of whole-block bests to their
+        run, and two gathered boundary rows per run for the partial blocks."""
+        a2 = _pad_to_blocks(arr, sentinel).reshape(-1, _BLK)
+        red = jnp.min if want_min else jnp.max
+        bbest = red(a2, axis=1)
+        tgt = jnp.where(
+            whole_blk & (rid_blocks_first >= 0) & (rid_blocks_first < r_cap),
+            rid_blocks_first.astype(jnp.int64),
+            r_cap,
+        )
+        init = jnp.full((r_cap + 1,), sentinel, a2.dtype)
+        out = (
+            init.at[tgt].min(bbest) if want_min else init.at[tgt].max(bbest)
+        )[:r_cap]
+        head_rows = a2[jnp.clip(bs_, 0, nb_all - 1)]
+        not_same = jnp.logical_not(same_blk)
+        hm = (lane[None, :] >= rs_[:, None]) & (
+            not_same[:, None] | (lane[None, :] < re_[:, None])
+        )
+        head = red(jnp.where(hm, head_rows, sentinel), axis=1)
+        tail_rows = a2[jnp.clip(be_, 0, nb_all - 1)]
+        tm = (lane[None, :] < re_[:, None]) & not_same[:, None]
+        tail = red(jnp.where(tm, tail_rows, sentinel), axis=1)
+        return red(jnp.stack([out, head, tail]), axis=0)
+
     # ---- first-appearance order -------------------------------------------
+    # the row index was the least-significant sort key, so the row at each
+    # run START is the run's first-appearance representative
     row_idx = s_payloads[0]
-    rep_v, _ = _seg_scan_best(row_idx, row_idx, new_run, want_min=True)
-    rep = jnp.where(live, rep_v[last], np.iinfo(np.int32).max)
+    rep = jnp.where(live, row_idx[jnp.clip(prev_end, 0, n - 1)],
+                    np.iinfo(np.int32).max)
     order_of_run = jnp.argsort(jnp.argsort(rep))  # rank in first-appearance order
 
     def place(vals_runs, dtype=None):
@@ -226,12 +277,9 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
             adata.append(place(jnp.where(live, cnt, 0)))
             avalid.append(ones)
             continue
-        data = s_payloads[p]
+        data = s_payloads[p]  # for VARCHAR min/max: packed (rank<<32|code)
         valid = s_payloads[p + 1] > 0
         p += 2
-        if ct == LogicalType.VARCHAR and name in ("min", "max"):
-            rank = s_payloads[p]
-            p += 1
         counts = run_sum(valid.astype(jnp.int64))
         has_any = counts > 0
         if name == "count":
@@ -249,10 +297,11 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
             continue
         if name in ("min", "max"):
             if ct == LogicalType.VARCHAR:
-                big = jnp.iinfo(jnp.int64).max
-                v = jnp.where(valid, rank, big if name == "min" else -big)
-                _, best_code = _seg_scan_best(v, data, new_run, name == "min")
-                out_data = place(best_code[last])
+                big = jnp.int64(jnp.iinfo(jnp.int64).max)
+                sentinel = big if name == "min" else -big
+                v = jnp.where(valid, data, sentinel)
+                best = run_minmax(v, name == "min", sentinel)
+                out_data = place((best & jnp.int64(0xFFFFFFFF)).astype(jnp.int32))
             else:
                 info_dt = numpy_dtype_for(ct)
                 if ct.is_float():
@@ -262,8 +311,8 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
                     sentinel = ii.max if name == "min" else ii.min
                 vals = _unsortable(data, ct)
                 v = jnp.where(valid, vals, jnp.asarray(sentinel, vals.dtype))
-                best, _ = _seg_scan_best(v, v, new_run, name == "min")
-                out_data = place(best[last])
+                best = run_minmax(v, name == "min", sentinel)
+                out_data = place(best)
             adata.append(out_data.astype(numpy_dtype_for(rt)))
             avalid.append(place(has_any.astype(jnp.int32)) > 0)
             continue

@@ -6,8 +6,9 @@ arrays (strings via dictionary lex-ranks) and sorted with successive stable
 argsorts from least- to most-significant key — all on device. NULLs sort
 first in both directions (arrow SortOptions default the reference inherits).
 
-The Pallas radix-sort kernel (sqlrs_tpu/ops/radix_sort.py) is the scale path;
-this is the general correctness path XLA compiles to its own sort HLO.
+Rows ride the sort as payload operands (sort_rows) instead of being gathered
+by a permutation afterwards — TPU gathers run at 12-40M elem/s (CLAUDE.md
+measurements) while sort payloads stream at memory-like speed.
 """
 
 from __future__ import annotations
@@ -69,3 +70,28 @@ def sort_indices(items: list[tuple[Column, bool]]):
     ops.append(jnp.arange(n, dtype=jnp.int64))
     out = jax.lax.sort(tuple(ops), num_keys=len(items), is_stable=True)
     return out[-1]
+
+
+def sort_rows(items: list[tuple[Column, bool]], columns: list[Column]):
+    """Sort whole rows: ONE variadic lax.sort carrying every output column
+    (data + validity) as payload — no post-sort permutation gathers."""
+    import jax
+
+    keys = [_directed_key(col, asc) for col, asc in items]
+    num_keys = len(keys)
+    payloads: list = []
+    for c in columns:
+        payloads.append(
+            c.data.astype(jnp.int32) if c.data.dtype == jnp.bool_ else c.data
+        )
+        payloads.append(c.valid.astype(jnp.int32))
+    out = jax.lax.sort(tuple(keys + payloads), num_keys=num_keys, is_stable=True)
+    res = []
+    p = num_keys
+    for c in columns:
+        data, valid = out[p], out[p + 1]
+        p += 2
+        if c.data.dtype == jnp.bool_:
+            data = data.astype(jnp.bool_)
+        res.append(Column(c.type, data, valid > 0))
+    return res
