@@ -120,8 +120,14 @@ class Executor:
 
             key_cols = [execute_expr(g, child) for g in groups]
             specs = []
-            for a in aggs:
-                col = execute_expr(a.arg, child) if a.arg is not None else None
+            arg_cache: dict[str, Column] = {}  # identical args share one
+            for a in aggs:                     # Column (payload-slot dedupe)
+                col = None
+                if a.arg is not None:
+                    k = repr(a.arg)
+                    if k not in arg_cache:
+                        arg_cache[k] = execute_expr(a.arg, child)
+                    col = arg_cache[k]
                 specs.append((a.function_name, col, a.return_type()))
             gcols, acols, n_groups = sorted_grouped_aggregate(key_cols, specs)
             return DeviceBatch(_schema(op), gcols + acols, n_groups)

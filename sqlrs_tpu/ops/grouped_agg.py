@@ -97,24 +97,43 @@ def sorted_grouped_aggregate(
     for c in key_cols:  # raw key data + validity for output reconstruction
         payloads.append(_sortable(c.data))
         payloads.append(c.valid.astype(jnp.int32))
+
+    # each DISTINCT aggregate input column rides the sort once, shared by
+    # every aggregate over it (sum(v), count(v), min(v), max(v) -> one
+    # payload pair, one valid-count downstream). VARCHAR columns used by any
+    # min/max ride as ONE packed (rank << 32 | code) operand.
+    slot_of: dict[int, int] = {}
+    slot_cols: list = []
+    slot_packed: list = []
+    agg_slots: list = []
     for name, col, _ in agg_specs:
         if col is None:
+            agg_slots.append(None)
             continue
+        ident = id(col)
+        if ident not in slot_of:
+            slot_of[ident] = len(slot_cols)
+            slot_cols.append(col)
+            slot_packed.append(False)
+        agg_slots.append(slot_of[ident])
         if col.type == LogicalType.VARCHAR and name in ("min", "max"):
-            # one packed (rank << 32 | code) payload: min/max by rank carries
-            # the winning dictionary code along
+            slot_packed[slot_of[ident]] = True
+    for col, packed in zip(slot_cols, slot_packed):
+        if packed:
             rank, _ = orderable_key(col)
             code_u = col.data.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
             payloads.append((rank.astype(jnp.int64) << 32) | code_u)
-            payloads.append(col.valid.astype(jnp.int32))
-            continue
-        payloads.append(_sortable(col.data))
+        else:
+            payloads.append(_sortable(col.data))
         payloads.append(col.valid.astype(jnp.int32))
 
     spec = (
         tuple(c.type for c in key_cols),
-        tuple((name, col.type if col is not None else None, rt)
-              for name, col, rt in agg_specs),
+        tuple(
+            (name, col.type if col is not None else None, rt, slot)
+            for (name, col, rt), slot in zip(agg_specs, agg_slots)
+        ),
+        len(slot_cols),
     )
 
     out, new_run, rid, n_runs = _agg_phase1(
@@ -171,7 +190,7 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
     33.5M int64 on v5e)."""
     from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
 
-    key_types, agg_items = spec
+    key_types, agg_items, n_slots = spec
     s_payloads = list(out[num_keys:])
     n = out[0].shape[0]
     pad_n = (-n) % _BLK
@@ -270,17 +289,20 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
         gvalid.append(place((valid[last] > 0).astype(jnp.int32)) > 0)
 
     # ---- aggregates -----------------------------------------------------------
+    slot_base = p
+    counts_cache: dict[int, object] = {}
     adata, avalid = [], []
-    for name, ct, rt in agg_items:
+    for name, ct, rt, slot in agg_items:
         if ct is None:  # count(*)
             cnt = (ends - prev_end).astype(jnp.int64)
             adata.append(place(jnp.where(live, cnt, 0)))
             avalid.append(ones)
             continue
-        data = s_payloads[p]  # for VARCHAR min/max: packed (rank<<32|code)
-        valid = s_payloads[p + 1] > 0
-        p += 2
-        counts = run_sum(valid.astype(jnp.int64))
+        data = s_payloads[slot_base + 2 * slot]  # VARCHAR min/max: packed
+        valid = s_payloads[slot_base + 2 * slot + 1] > 0
+        if slot not in counts_cache:
+            counts_cache[slot] = run_sum(valid.astype(jnp.int64))
+        counts = counts_cache[slot]
         has_any = counts > 0
         if name == "count":
             adata.append(place(jnp.where(live, counts, 0)))
@@ -327,11 +349,14 @@ def partial_grouped_fixed(alive, row_idx, keys, aggs, g_cap: int):
     capacity-overflow flag drives the caller's bucketed-recompile retry,
     SURVEY.md §7 "fixed-capacity batches + valid-count scalars").
 
-    Same sorted-run formulation as sorted_grouped_aggregate, but runs land in
-    g_cap-sized output buffers instead of a data-dependent allocation.
+    Scatter-free, same techniques as the single-chip kernels (TPU scatters
+    run at 12-40M elem/s): the row index rides as the least-significant sort
+    key (run start = first appearance), run ends come from merge-ranked
+    queries at the static g_cap capacity, run sums are block-prefix
+    differences, and run min/max uses whole-block bests + boundary rows.
 
     alive:   bool[n] live-row mask (dead rows sort last, never form runs)
-    row_idx: int64[n] global row ids (min per run = first-appearance key)
+    row_idx: int64[n] global row ids
     keys:    list of (orderable int array, valid bool, raw data array)
     aggs:    list of ("count_star" | "count" | "sum" | "avg" | "min" | "max"
              | "vmin" | "vmax", data, valid, rank_or_None, out_dtype)
@@ -341,18 +366,21 @@ def partial_grouped_fixed(alive, row_idx, keys, aggs, g_cap: int):
     key_outs = [(data[g_cap], valid[g_cap])], states = per agg dict of
     g_cap-sized partial-state arrays.
     """
+    from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
+
     n = alive.shape[0]
     dead = jnp.logical_not(alive).astype(jnp.int32)
     sort_keys: list = [dead]
     for orderable, valid, _raw in keys:
         sort_keys.append(valid.astype(jnp.int32))
         sort_keys.append(jnp.where(valid, orderable, 0))
+    sort_keys.append(row_idx)  # least-significant: run start = first appearance
     num_keys = len(sort_keys)
 
-    payloads: list = [row_idx, alive.astype(jnp.int32)]
+    payloads: list = [alive.astype(jnp.int32)]
     key_pay_ix = []
     for _orderable, valid, raw in keys:
-        key_pay_ix.append(len(payloads))
+        key_pay_ix.append(num_keys + len(payloads))
         payloads.append(_sortable(raw))
         payloads.append(valid.astype(jnp.int32))
     agg_pay_ix = []
@@ -360,63 +388,120 @@ def partial_grouped_fixed(alive, row_idx, keys, aggs, g_cap: int):
         if data is None:
             agg_pay_ix.append(None)
             continue
-        agg_pay_ix.append(len(payloads))
-        payloads.append(_sortable(data))
+        agg_pay_ix.append(num_keys + len(payloads))
+        if kind in ("vmin", "vmax"):
+            code_u = data.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+            payloads.append((rank.astype(jnp.int64) << 32) | code_u)
+        else:
+            payloads.append(_sortable(data))
         payloads.append(valid.astype(jnp.int32))
-        if rank is not None:
-            payloads.append(rank)
 
     out = lax.sort(tuple(sort_keys + payloads), num_keys=num_keys)
-    s_keys = out[:num_keys]
-    s_pay = list(out[num_keys:])
-    alive_b = s_pay[1] > 0
-    row_s = s_pay[0]
+    row_s = out[num_keys - 1]
+    alive_b = out[num_keys] > 0
 
     new_run = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
-    for arr in s_keys[1:]:  # skip the dead flag: runs only split on key fields
+    for arr in out[1 : num_keys - 1]:  # key fields only (not dead flag/row)
         d = arr[1:] != arr[:-1]
         new_run = new_run.at[1:].set(jnp.logical_or(new_run[1:], d))
     new_run = new_run & alive_b
-    rid = jnp.cumsum(new_run.astype(jnp.int64)) - 1
+    rid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
     n_runs = jnp.sum(new_run.astype(jnp.int64))
     overflow = n_runs > g_cap
-    trash = jnp.int64(g_cap)
-    rid_c = jnp.where(alive_b & (rid >= 0), jnp.minimum(rid, trash), trash)
-    route_start = jnp.where(new_run & (rid < g_cap), rid, trash)
+    big32 = jnp.int32(jnp.iinfo(jnp.int32).max)
+    rid_eff = jnp.where(alive_b, rid, big32)  # dead rows leave every run
+
+    pad_n = (-n) % _BLK
+    nb = (n + pad_n) // _BLK
+
+    def _pad(arr, fill):
+        if pad_n == 0:
+            return arr
+        return jnp.concatenate([arr, jnp.full((pad_n,), fill, arr.dtype)])
+
+    rid_p = _pad(rid_eff, big32)
+    r = jnp.arange(g_cap, dtype=jnp.int32)
+    ends = _sorted_ranks_left(rid_p.reshape(-1, _BLK), r + 1)  # side='right'
+    prev_end = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
+    live = r.astype(jnp.int64) < jnp.minimum(n_runs, jnp.int64(g_cap))
+    start_pos = jnp.clip(prev_end, 0, n - 1)
+    lane = jnp.arange(_BLK, dtype=jnp.int32)
+
+    def run_sum(arr):
+        a2 = _pad(arr, 0).reshape(-1, _BLK)
+        bs = jnp.sum(a2, axis=1)
+        bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
+
+        def prefix_at(pos):
+            b = pos // _BLK
+            rem = (pos % _BLK).astype(jnp.int32)
+            rows = a2[jnp.clip(b, 0, nb - 1)]
+            part = jnp.sum(
+                jnp.where(lane[None, :] < rem[:, None], rows, 0), axis=1
+            )
+            return bp[b] + part
+
+        return prefix_at(ends) - prefix_at(prev_end)
+
+    rid_first = rid_p[::_BLK]
+    rid_last = rid_p[_BLK - 1 :: _BLK]
+    whole_blk = rid_first == rid_last
+    e1 = jnp.maximum(ends, 1) - 1
+    bs_ = prev_end // _BLK
+    rs_ = (prev_end % _BLK).astype(jnp.int32)
+    be_ = e1 // _BLK
+    re_ = (e1 % _BLK).astype(jnp.int32) + 1
+    same_blk = bs_ == be_
+
+    def run_minmax(arr, want_min, sentinel):
+        a2 = _pad(arr, sentinel).reshape(-1, _BLK)
+        red = jnp.min if want_min else jnp.max
+        bbest = red(a2, axis=1)
+        tgt = jnp.where(
+            whole_blk & (rid_first >= 0) & (rid_first < g_cap),
+            rid_first.astype(jnp.int64),
+            g_cap,
+        )
+        init = jnp.full((g_cap + 1,), sentinel, a2.dtype)
+        scat = (
+            init.at[tgt].min(bbest) if want_min else init.at[tgt].max(bbest)
+        )[:g_cap]
+        head_rows = a2[jnp.clip(bs_, 0, nb - 1)]
+        not_same = jnp.logical_not(same_blk)
+        hm = (lane[None, :] >= rs_[:, None]) & (
+            not_same[:, None] | (lane[None, :] < re_[:, None])
+        )
+        head = red(jnp.where(hm, head_rows, sentinel), axis=1)
+        tail_rows = a2[jnp.clip(be_, 0, nb - 1)]
+        tm = (lane[None, :] < re_[:, None]) & not_same[:, None]
+        tail = red(jnp.where(tm, tail_rows, sentinel), axis=1)
+        return red(jnp.stack([scat, head, tail]), axis=0)
 
     big64 = jnp.int64(jnp.iinfo(jnp.int64).max)
-    first_row = jnp.full((g_cap + 1,), big64).at[rid_c].min(
-        jnp.where(alive_b, row_s, big64)
-    )[:g_cap]
+    first_row = jnp.where(live, row_s[start_pos], big64)
 
     key_outs = []
-    for (o, v, raw), ix in zip(keys, key_pay_ix):
-        raw_s, valid_s = s_pay[ix], s_pay[ix + 1]
-        kd = jnp.zeros((g_cap + 1,), raw_s.dtype).at[route_start].set(raw_s)[:g_cap]
-        kv = jnp.zeros((g_cap + 1,), jnp.int32).at[route_start].set(valid_s)[:g_cap] > 0
+    for (_o, _v, raw), ix in zip(keys, key_pay_ix):
+        raw_s, valid_s = out[ix], out[ix + 1]
+        kd = jnp.where(live, raw_s[start_pos], jnp.zeros((), raw_s.dtype))
+        kv = live & (valid_s[start_pos] > 0)
         key_outs.append((kd, kv))
 
     states = []
-    ones = jnp.ones(n, dtype=jnp.int64)
     for (kind, data, valid, rank, out_dt), ix in zip(aggs, agg_pay_ix):
         if kind == "count_star":
-            cnt = jnp.zeros((g_cap + 1,), jnp.int64).at[rid_c].add(
-                alive_b.astype(jnp.int64)
-            )[:g_cap]
+            cnt = jnp.where(live, (ends - prev_end).astype(jnp.int64), 0)
             states.append({"cnt": cnt})
             continue
-        data_s = s_pay[ix]
-        valid_s = (s_pay[ix + 1] > 0) & alive_b
-        route_v = jnp.where(valid_s, rid_c, trash)
-        cnt = jnp.zeros((g_cap + 1,), jnp.int64).at[route_v].add(ones)[:g_cap]
+        data_s = out[ix]
+        valid_s = (out[ix + 1] > 0) & alive_b
+        cnt = jnp.where(live, run_sum(valid_s.astype(jnp.int64)), 0)
         if kind == "count":
             states.append({"cnt": cnt})
         elif kind in ("sum", "avg"):
             acc = data_s.astype(out_dt)
-            s = jnp.zeros((g_cap + 1,), out_dt).at[route_v].add(
-                jnp.where(valid_s, acc, 0)
-            )[:g_cap]
-            states.append({"cnt": cnt, "sum": s})
+            sm = run_sum(jnp.where(valid_s, acc, 0))
+            states.append({"cnt": cnt, "sum": jnp.where(live, sm, 0)})
         elif kind in ("min", "max"):
             if jnp.issubdtype(data_s.dtype, jnp.floating):
                 sent = jnp.inf if kind == "min" else -jnp.inf
@@ -424,30 +509,18 @@ def partial_grouped_fixed(alive, row_idx, keys, aggs, g_cap: int):
                 ii = jnp.iinfo(data_s.dtype)
                 sent = ii.max if kind == "min" else ii.min
             v = jnp.where(valid_s, data_s, jnp.asarray(sent, data_s.dtype))
-            init = jnp.full((g_cap + 1,), sent, data_s.dtype)
-            best = (
-                init.at[route_v].min(v) if kind == "min" else init.at[route_v].max(v)
-            )[:g_cap]
+            best = run_minmax(v, kind == "min", sent)
             states.append({"cnt": cnt, "best": best})
         elif kind in ("vmin", "vmax"):
-            # dictionary-code min/max by rank: pack (rank << 32 | code) so a
-            # single int64 min/max carries the winning code along
-            rank_s = s_pay[ix + 2]
-            code_u = data_s.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
-            packed = (rank_s.astype(jnp.int64) << 32) | code_u
-            if kind == "vmin":
-                sent = big64
-                v = jnp.where(valid_s, packed, sent)
-                best = jnp.full((g_cap + 1,), sent).at[route_v].min(v)[:g_cap]
-            else:
-                sent = -big64
-                v = jnp.where(valid_s, packed, sent)
-                best = jnp.full((g_cap + 1,), sent).at[route_v].max(v)[:g_cap]
-            states.append({"cnt": cnt, "best": (best & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)})
+            sent = big64 if kind == "vmin" else -big64
+            v = jnp.where(valid_s, data_s, sent)
+            best = run_minmax(v, kind == "vmin", sent)
+            states.append(
+                {"cnt": cnt, "best": (best & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)}
+            )
         else:
             raise ExecutorError(f"unknown partial aggregate kind {kind}")
 
-    live = jnp.arange(g_cap, dtype=jnp.int64) < jnp.minimum(n_runs, trash)
     return key_outs, first_row, live, states, n_runs, overflow
 
 
