@@ -94,9 +94,12 @@ def sorted_grouped_aggregate(
     # min scan needed (associative_scan unrolls log2(N) HLO stages and
     # dominated compile time)
     payloads: list = [jnp.arange(n, dtype=jnp.int32)]
-    for c in key_cols:  # raw key data + validity for output reconstruction
-        payloads.append(_sortable(c.data))
-        payloads.append(c.valid.astype(jnp.int32))
+    for c in key_cols:
+        # non-VARCHAR key values are reconstructed from the sort key fields
+        # themselves (orderable encoding is invertible); only dictionary
+        # codes need a dedicated payload
+        if c.type == LogicalType.VARCHAR:
+            payloads.append(c.data)
 
     # each DISTINCT aggregate input column rides the sort once, shared by
     # every aggregate over it (sum(v), count(v), min(v), max(v) -> one
@@ -281,12 +284,16 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
     # ---- group key output columns -------------------------------------------
     gdata, gvalid = [], []
     p = 1
-    for kt in key_types:
-        raw = s_payloads[p]
-        valid = s_payloads[p + 1]
-        p += 2
+    for i, kt in enumerate(key_types):
+        valid_f = out[2 * i]  # the (valid, encoded key) sort fields
+        key_f = out[2 * i + 1]
+        if kt == LogicalType.VARCHAR:
+            raw = s_payloads[p]
+            p += 1
+        else:
+            raw = _orderable_inverse(key_f, kt)
         gdata.append(_unsortable(place(raw[last]), kt))
-        gvalid.append(place((valid[last] > 0).astype(jnp.int32)) > 0)
+        gvalid.append(place((valid_f[last] > 0).astype(jnp.int32)) > 0)
 
     # ---- aggregates -----------------------------------------------------------
     slot_base = p
@@ -522,6 +529,14 @@ def partial_grouped_fixed(alive, row_idx, keys, aggs, g_cap: int):
             raise ExecutorError(f"unknown partial aggregate kind {kind}")
 
     return key_outs, first_row, live, states, n_runs, overflow
+
+
+def _orderable_inverse(key_field, t: LogicalType):
+    """Invert ops/sort.orderable_key for the non-VARCHAR types (identity up
+    to dtype, except the UBIGINT signed-range shift)."""
+    if t == LogicalType.UBIGINT:
+        return (key_field.astype(jnp.uint64) + jnp.uint64(2**63))
+    return key_field.astype(numpy_dtype_for(t))
 
 
 def _sortable(data):

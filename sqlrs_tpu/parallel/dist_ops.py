@@ -29,17 +29,77 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from sqlrs_tpu.ops.hash_table import (
-    EMPTY,
-    build_join_table,
-    hash_keys,
-    next_pow2,
-    probe_counts,
-)
+from sqlrs_tpu.ops.hash_table import hash_keys
 
 
 def _axis_size(mesh, axis):
     return mesh.shape[axis]
+
+
+# ---- shard-local sorted join+group-by core -----------------------------------
+#
+# All four distributed join+group-by strategies share one shard-local
+# compute: fact rows joined to (a chunk of) the dim table, partial sums and
+# counts by dim row. The hash-table/scatter formulation runs at TPU scatter
+# speed (12-40M elem/s measured); this sorted formulation is the same
+# design as the single-chip headline kernel (ops/pipelines.join_groupby_direct):
+# sort the local fact rows once, then answer each dim key's [k, k+1) range
+# with merge-ranked prefix-sum differences — every N-sized op streams, and
+# the only scatter is G-sized. int64 max is a reserved key (masked rows).
+
+_BLK = 128
+_MAXK = jnp.int64(jnp.iinfo(jnp.int64).max)
+
+
+def _sorted_fact_blocks(fk, fv, fm):
+    """Sort local fact rows by key (masked rows -> reserved max key, sorted
+    last) and precompute 128-wide block prefix sums of the values."""
+    from jax import lax
+
+    n = fk.shape[0]
+    ks, vs = lax.sort((jnp.where(fm, fk, _MAXK), fv), num_keys=1)
+    pad = (-n) % _BLK
+    if pad:
+        ks = jnp.concatenate([ks, jnp.full((pad,), _MAXK)])
+        vs = jnp.concatenate([vs, jnp.zeros((pad,), vs.dtype)])
+    k2d = ks.reshape(-1, _BLK)
+    v2d = vs.reshape(-1, _BLK)
+    bs = jnp.sum(v2d, axis=1)
+    bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
+    return k2d, v2d, bp
+
+
+def _range_partials(k2d, v2d, bp, dk, dm):
+    """Per dim key k: (sum, count) of fact values with key in [k, k+1).
+    Invalid dim rows query an empty range."""
+    from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
+
+    dlo = jnp.where(dm, dk, _MAXK)
+    dhi = jnp.where(dm, dk + 1, _MAXK)
+    g = dlo.shape[0]
+    ranks = _sorted_ranks_left(k2d, jnp.concatenate([dlo, dhi]))
+    lo, hi = ranks[:g], ranks[g:]
+    nb = k2d.shape[0]
+    lane = jnp.arange(_BLK, dtype=jnp.int32)
+
+    def prefix_at(pos):
+        b = pos // _BLK
+        rem = (pos % _BLK).astype(jnp.int32)
+        rows = v2d[jnp.clip(b, 0, nb - 1)]
+        part = jnp.sum(jnp.where(lane[None, :] < rem[:, None], rows, 0), axis=1)
+        return bp[b] + part
+
+    return prefix_at(hi) - prefix_at(lo), hi - lo
+
+
+def _local_join_groupby(fk, fv, fm, dk, drow, dm, n_groups: int):
+    """(sums, counts) partials by dim row id over one shard's fact rows."""
+    k2d, v2d, bp = _sorted_fact_blocks(fk, fv, fm)
+    sum_d, cnt_d = _range_partials(k2d, v2d, bp, dk, dm)
+    tgt = jnp.where(dm, drow, n_groups)
+    sums = jnp.zeros((n_groups + 1,), fv.dtype).at[tgt].add(sum_d)
+    cnts = jnp.zeros((n_groups + 1,), jnp.int64).at[tgt].add(cnt_d)
+    return sums[:n_groups], cnts[:n_groups]
 
 
 # ---- exchange: repartition by key hash ------------------------------------------
@@ -109,25 +169,12 @@ def dist_join_groupby_broadcast(
     row index (dim keys assumed unique — the fact→dimension join). One psum
     of O(n_groups) is the only cross-device traffic.
     """
-    capacity = next_pow2(max(2 * n_groups, 16))
-
     def local(fk, fv, dk):
-        table, start, bcounts, order = build_join_table(dk, capacity)
-        found, counts = probe_counts(table, fk, bcounts, capacity)
-        matched = found >= 0
-        # dim keys unique -> bucket size 1 -> dim row = order[start[slot]]
-        slot = jnp.maximum(found, 0)
-        dim_row = order[jnp.clip(start[slot], 0, order.shape[0] - 1)]
-        gid = jnp.where(matched, dim_row, n_groups)  # misses -> overflow bin
-        sums = jnp.zeros((n_groups + 1,), fv.dtype).at[gid].add(
-            jnp.where(matched, fv, 0)
-        )
-        cnts = jnp.zeros((n_groups + 1,), jnp.int64).at[gid].add(
-            matched.astype(jnp.int64)
-        )
-        sums = jax.lax.psum(sums[:n_groups], axis)
-        cnts = jax.lax.psum(cnts[:n_groups], axis)
-        return sums, cnts
+        fm = jnp.ones(fk.shape, jnp.bool_)
+        drow = jnp.arange(dk.shape[0], dtype=jnp.int64)
+        dm = jnp.ones(dk.shape, jnp.bool_)
+        sums, cnts = _local_join_groupby(fk, fv, fm, dk, drow, dm, n_groups)
+        return jax.lax.psum(sums, axis), jax.lax.psum(cnts, axis)
 
     return shard_map(
         local,
@@ -161,19 +208,10 @@ def dist_join_groupby_shuffle(
     dim_vals, _ = _pad_to_mesh(dim_vals, 0)
     fk, fv, fm, _ = partition_shuffle(mesh, fact_keys, fact_vals, valid_f, bucket_capacity, axis)
     dk, drow, dm, _ = partition_shuffle(mesh, dim_keys, dim_vals, valid_d, bucket_capacity, axis)
-    capacity = next_pow2(max(2 * bucket_capacity * n_dev, 16))
 
     def local(fk, fv, fm, dk, drow, dm):
-        dk = jnp.where(dm, dk, EMPTY + 1)  # pad rows get a reserved key
-        table, start, bcounts, order = build_join_table(dk, capacity)
-        found, _ = probe_counts(table, jnp.where(fm, fk, EMPTY + 2), bcounts, capacity)
-        matched = (found >= 0) & fm
-        slot = jnp.maximum(found, 0)
-        dim_row = drow[order[jnp.clip(start[slot], 0, order.shape[0] - 1)]]
-        gid = jnp.where(matched, dim_row, n_groups)
-        sums = jnp.zeros((n_groups + 1,), fv.dtype).at[gid].add(jnp.where(matched, fv, 0))
-        cnts = jnp.zeros((n_groups + 1,), jnp.int64).at[gid].add(matched.astype(jnp.int64))
-        return jax.lax.psum(sums[:n_groups], axis), jax.lax.psum(cnts[:n_groups], axis)
+        sums, cnts = _local_join_groupby(fk, fv, fm, dk, drow, dm, n_groups)
+        return jax.lax.psum(sums, axis), jax.lax.psum(cnts, axis)
 
     return shard_map(
         local,
@@ -228,7 +266,6 @@ def dist_join_groupby_salted(
     fact_vals, _ = _pad(fact_vals, 0)
     dim_keys_p, dvalid = _pad(dim_keys, 0)
     dim_rows_p, _ = _pad(dim_rows, 0)
-    capacity = next_pow2(max(2 * (bucket_capacity * n_dev + hot_capacity), 16))
 
     def local(fk, fv, fm, dk, drow, dm):
         n = fk.shape[0]
@@ -273,20 +310,10 @@ def dist_join_groupby_salted(
         dm_all = jnp.concatenate([dm_cold, hmask])
 
         # ---- local join + partial agg -------------------------------------
-        dk_masked = jnp.where(dm_all, dk_all, EMPTY + 1)
-        table, start, bcounts, order = build_join_table(dk_masked, capacity)
-        found, _ = probe_counts(table, jnp.where(fm2, fk2, EMPTY + 2), bcounts, capacity)
-        matched = (found >= 0) & fm2
-        slot = jnp.maximum(found, 0)
-        dim_row = drow_all[order[jnp.clip(start[slot], 0, order.shape[0] - 1)]]
-        gid = jnp.where(matched, dim_row, n_groups)
-        sums = jnp.zeros((n_groups + 1,), fv2.dtype).at[gid].add(
-            jnp.where(matched, fv2, 0)
+        sums, cnts = _local_join_groupby(
+            fk2, fv2, fm2, dk_all, drow_all, dm_all, n_groups
         )
-        cnts = jnp.zeros((n_groups + 1,), jnp.int64).at[gid].add(
-            matched.astype(jnp.int64)
-        )
-        return jax.lax.psum(sums[:n_groups], axis), jax.lax.psum(cnts[:n_groups], axis)
+        return jax.lax.psum(sums, axis), jax.lax.psum(cnts, axis)
 
     return shard_map(
         local,
@@ -337,29 +364,25 @@ def dist_join_groupby_ring(mesh, fact_keys, fact_vals, dim_keys, n_groups: int, 
     fact_vals, _ = _pad(fact_vals, 0)
     dim_keys_p, dvalid = _pad(dim_keys, 0)
     dim_rows_p, _ = _pad(dim_rows, 0)
-    chunk = dim_keys_p.shape[0] // n_dev
-    capacity = next_pow2(max(2 * chunk, 16))
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def local(fk, fv, fm, dk, drow, dm):
-        dk = jnp.where(dm, dk, EMPTY + 1)  # pad dim rows never match
-        pk = jnp.where(fm, fk, EMPTY + 2)  # pad fact rows never match
+        # the fact side is sorted ONCE; each ring step answers the resident
+        # dim chunk's range queries against the same sorted blocks
+        k2d, v2d, bp = _sorted_fact_blocks(fk, fv, fm)
 
         def step(carry, _):
-            dk_c, drow_c, sums, cnts = carry
+            dk_c, drow_c, dm_c, sums, cnts = carry
             # issue the next chunk's transfer FIRST — independent of the
-            # probe below, so XLA overlaps the ppermute with the compute
+            # range queries below, so XLA overlaps the ppermute with compute
             dk_n = jax.lax.ppermute(dk_c, axis, perm)
             drow_n = jax.lax.ppermute(drow_c, axis, perm)
-            table, start, bcounts, order = build_join_table(dk_c, capacity)
-            found, _ = probe_counts(table, pk, bcounts, capacity)
-            matched = found >= 0
-            slot = jnp.maximum(found, 0)
-            dim_row = drow_c[order[jnp.clip(start[slot], 0, order.shape[0] - 1)]]
-            gid = jnp.where(matched, dim_row, n_groups)
-            sums = sums.at[gid].add(jnp.where(matched, fv, 0))
-            cnts = cnts.at[gid].add(matched.astype(jnp.int64))
-            return (dk_n, drow_n, sums, cnts), None
+            dm_n = jax.lax.ppermute(dm_c, axis, perm)
+            sum_d, cnt_d = _range_partials(k2d, v2d, bp, dk_c, dm_c)
+            tgt = jnp.where(dm_c, drow_c, n_groups)
+            sums = sums.at[tgt].add(sum_d)
+            cnts = cnts.at[tgt].add(cnt_d)
+            return (dk_n, drow_n, dm_n, sums, cnts), None
 
         # accumulators derive from fv so they carry the shard-varying mesh
         # axis (a fresh jnp.zeros is "unvarying" and scan rejects the carry)
@@ -367,10 +390,11 @@ def dist_join_groupby_ring(mesh, fact_keys, fact_vals, dim_keys, n_groups: int, 
         init = (
             dk,
             drow,
+            dm,
             jnp.zeros((n_groups + 1,), fv.dtype) + vary,
             jnp.zeros((n_groups + 1,), jnp.int64) + vary,
         )
-        (_, _, sums, cnts), _ = jax.lax.scan(step, init, None, length=n_dev)
+        (_, _, _, sums, cnts), _ = jax.lax.scan(step, init, None, length=n_dev)
         return jax.lax.psum(sums[:n_groups], axis), jax.lax.psum(cnts[:n_groups], axis)
 
     return shard_map(
