@@ -18,7 +18,11 @@ from sqlrs_tpu.binder.expression import BoundAggregate
 from sqlrs_tpu.data import Column, DeviceBatch, Schema, SchemaField
 from sqlrs_tpu.data.strings import NULL_CODE
 from sqlrs_tpu.errors import ExecutorError
-from sqlrs_tpu.exec.expression_executor import execute_expr, execute_scalar
+from sqlrs_tpu.exec.expression_executor import (
+    execute_expr,
+    execute_exprs_fused,
+    execute_scalar,
+)
 from sqlrs_tpu.ops import elementwise as ew
 from sqlrs_tpu.ops.grouping import (
     dedup_mask,
@@ -75,12 +79,12 @@ class Executor:
 
     def _exec_Projection(self, op: P.PhysicalProjection) -> DeviceBatch:
         child = self.execute(op.children[0])
-        cols = [execute_expr(e, child) for e in op.exprs]
+        cols = execute_exprs_fused(op.exprs, child)
         return DeviceBatch(_schema(op), cols, child.num_rows)
 
     def _exec_Filter(self, op: P.PhysicalFilter) -> DeviceBatch:
         child = self.execute(op.children[0])
-        keep = execute_expr(op.predicate, child)
+        (keep,) = execute_exprs_fused([op.predicate], child)
         idx = ew.selection_to_indices(keep)
         return child.take(idx)
 
@@ -97,7 +101,8 @@ class Executor:
         child = self.execute(op.children[0])
         if child.num_rows == 0:
             return child
-        keys = [(execute_expr(e, child), asc) for e, asc in op.items]
+        key_cols = execute_exprs_fused([e for e, _ in op.items], child)
+        keys = [(c, asc) for c, (_, asc) in zip(key_cols, op.items)]
         cols = sort_rows(keys, child.columns)
         return DeviceBatch(child.schema, cols, child.num_rows)
 
@@ -118,16 +123,20 @@ class Executor:
             # (ops/grouped_agg.py; DISTINCT aggs use the legacy dedup path)
             from sqlrs_tpu.ops.grouped_agg import sorted_grouped_aggregate
 
-            key_cols = [execute_expr(g, child) for g in groups]
+            distinct_args: list = []
+            arg_keys: dict[str, int] = {}  # identical args share one Column
+            for a in aggs:                 # (payload-slot dedupe downstream)
+                if a.arg is not None and repr(a.arg) not in arg_keys:
+                    arg_keys[repr(a.arg)] = len(distinct_args)
+                    distinct_args.append(a.arg)
+            evaluated = execute_exprs_fused(list(groups) + distinct_args, child)
+            key_cols = evaluated[: len(groups)]
+            arg_cols = evaluated[len(groups):]
             specs = []
-            arg_cache: dict[str, Column] = {}  # identical args share one
-            for a in aggs:                     # Column (payload-slot dedupe)
+            for a in aggs:
                 col = None
                 if a.arg is not None:
-                    k = repr(a.arg)
-                    if k not in arg_cache:
-                        arg_cache[k] = execute_expr(a.arg, child)
-                    col = arg_cache[k]
+                    col = arg_cols[arg_keys[repr(a.arg)]]
                 specs.append((a.function_name, col, a.return_type()))
             gcols, acols, n_groups = sorted_grouped_aggregate(key_cols, specs)
             return DeviceBatch(_schema(op), gcols + acols, n_groups)
@@ -203,8 +212,8 @@ class Executor:
     def _exec_HashJoin(self, op: P.PhysicalHashJoin) -> DeviceBatch:
         left = self.execute(op.children[0])
         right = self.execute(op.children[1])
-        left_keys = [execute_expr(l, left) for l, _ in op.on]
-        right_keys = [execute_expr(r, right) for _, r in op.on]
+        left_keys = execute_exprs_fused([l for l, _ in op.on], left)
+        right_keys = execute_exprs_fused([r for _, r in op.on], right)
         l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
 
         if op.filter is not None and len(l_idx):

@@ -23,6 +23,74 @@ from sqlrs_tpu.ops import elementwise as ew
 from sqlrs_tpu.types import Interval, LogicalType, ScalarValue
 
 
+_FUSED_CACHE: dict = {}
+
+
+def execute_exprs_fused(exprs, batch: DeviceBatch) -> list[Column]:
+    """Evaluate a LIST of expressions over a batch as ONE jitted XLA program:
+    one dispatch and one fused pass over HBM, instead of one compiled op per
+    elementwise node (eager mode compiles per op, so a 10-node predicate
+    costs 10 read+write passes; fused it costs one). Falls back to eager
+    evaluation for expressions that concretize at trace time (e.g. casts
+    that parse the string dictionary on the host).
+
+    Cache key includes the string-dictionary length: the dictionary is
+    append-only, so its length is a version (LIKE tables and rank
+    projections bake dictionary contents into the traced program)."""
+    import os
+
+    if (
+        os.environ.get("SQLRS_TPU_FUSE", "1") == "0"
+        or batch.num_rows == 0
+        or not batch.columns
+        or not exprs
+    ):
+        return [execute_expr(e, batch) for e in exprs]
+    import jax
+
+    from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+
+    sig = (
+        tuple(repr(e) for e in exprs),
+        tuple(
+            (f.type, str(c.data.dtype), c.data.shape[0])
+            for f, c in zip(batch.schema.fields, batch.columns)
+        ),
+        batch.num_rows,
+        len(GLOBAL_STRINGS),
+    )
+    entry = _FUSED_CACHE.get(sig)
+    if entry is False:  # known trace failure: permanent eager fallback
+        return [execute_expr(e, batch) for e in exprs]
+    if entry is None:
+        schema, n, e_list = batch.schema, batch.num_rows, list(exprs)
+        out_types: list = []
+
+        def run(datas, valids):
+            cols = [
+                Column(f.type, d, v)
+                for f, d, v in zip(schema.fields, datas, valids)
+            ]
+            b = DeviceBatch(schema, cols, n)
+            outs = [execute_expr(e, b) for e in e_list]
+            if not out_types:
+                out_types.extend(c.type for c in outs)
+            return tuple(c.data for c in outs), tuple(c.valid for c in outs)
+
+        entry = (jax.jit(run), out_types)
+        _FUSED_CACHE[sig] = entry
+    fn, out_types = entry
+    try:
+        od, ov = fn(
+            tuple(c.data for c in batch.columns),
+            tuple(c.valid for c in batch.columns),
+        )
+    except Exception:
+        _FUSED_CACHE[sig] = False
+        return [execute_expr(e, batch) for e in exprs]
+    return [Column(t, d, v) for t, d, v in zip(out_types, od, ov)]
+
+
 def execute_expr(expr: BoundExpr, batch: DeviceBatch) -> Column:
     if isinstance(expr, BoundReference):
         return batch.columns[expr.index]

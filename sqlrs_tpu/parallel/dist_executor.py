@@ -38,7 +38,7 @@ import numpy as np
 
 from sqlrs_tpu.data import Column, DeviceBatch, Schema
 from sqlrs_tpu.exec.executor import Executor, _schema
-from sqlrs_tpu.exec.expression_executor import execute_expr
+from sqlrs_tpu.exec.expression_executor import execute_expr, execute_exprs_fused
 from sqlrs_tpu.ops import elementwise as ew
 from sqlrs_tpu.parallel.mesh import DATA_AXIS, replicated, row_sharding
 from sqlrs_tpu.plan import physical as P
@@ -168,7 +168,7 @@ class DistributedExecutor:
         child = self.execute(op.children[0])
         if not isinstance(child, ShardedBatch):
             return self._delegate(op, child)
-        cols = [execute_expr(e, child.view()) for e in op.exprs]
+        cols = execute_exprs_fused(op.exprs, child.view())
         out = child.with_columns(_schema(op), cols)
         out.parts = [
             DeviceBatch(
@@ -182,7 +182,7 @@ class DistributedExecutor:
         child = self.execute(op.children[0])
         if not isinstance(child, ShardedBatch):
             return self._delegate(op, child)
-        keep = execute_expr(op.predicate, child.view())
+        (keep,) = execute_exprs_fused([op.predicate], child.view())
         alive = child.alive & keep.data & keep.valid
         out = ShardedBatch(child.schema, child.columns, alive, self.mesh)
         for p in child.parts:
@@ -515,8 +515,8 @@ class DistributedExecutor:
 
         nl = left.num_rows
         rview = right.view()
-        left_keys = [execute_expr(l, left) for l, _ in op.on]
-        right_keys = [execute_expr(r, rview) for _, r in op.on]
+        left_keys = execute_exprs_fused([l for l, _ in op.on], left)
+        right_keys = execute_exprs_fused([r for _, r in op.on], rview)
 
         def combined_hash(cols, n):
             h = jnp.full((n,), jnp.uint64(0x9E3779B97F4A7C15))
