@@ -34,7 +34,7 @@ from sqlrs_tpu.ops.grouping import (
     seg_sum,
 )
 from sqlrs_tpu.ops.join import equi_join_pairs
-from sqlrs_tpu.ops.sort import orderable_key, sort_rows
+from sqlrs_tpu.ops.sort import compact_rows, orderable_key, sort_rows
 from sqlrs_tpu.plan import physical as P
 from sqlrs_tpu.storage.memory import DataTable, null_column
 from sqlrs_tpu.types import LogicalType, numpy_dtype_for
@@ -82,9 +82,20 @@ class Executor:
         cols = execute_exprs_fused(op.exprs, child)
         return DeviceBatch(_schema(op), cols, child.num_rows)
 
+    _COMPACT_SORT_MIN_ROWS = 1 << 18
+
     def _exec_Filter(self, op: P.PhysicalFilter) -> DeviceBatch:
         child = self.execute(op.children[0])
         (keep,) = execute_exprs_fused([op.predicate], child)
+        if child.num_rows >= self._COMPACT_SORT_MIN_ROWS and child.columns:
+            # large batches: compact via ONE stable flag-sort (device-
+            # resident; the gather path ships the mask to the host and pays
+            # per-column N-sized gathers)
+            count = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
+            if count == child.num_rows:
+                return child
+            cols = compact_rows(keep, child.columns, count)
+            return DeviceBatch(child.schema, cols, count)
         idx = ew.selection_to_indices(keep)
         return child.take(idx)
 

@@ -95,3 +95,31 @@ def sort_rows(items: list[tuple[Column, bool]], columns: list[Column]):
             data = data.astype(jnp.bool_)
         res.append(Column(c.type, data, valid > 0))
     return res
+
+
+def compact_rows(keep: Column, columns: list[Column], count: int):
+    """Filter compaction as ONE stable variadic sort by the drop flag
+    (kept rows first, original order preserved), sliced to `count` — no
+    host-side index materialization and no N-sized gathers (TPU gathers run
+    at 12-40M elem/s; sort payloads stream)."""
+    import jax
+
+    drop = jnp.logical_not(jnp.logical_and(keep.data, keep.valid))
+    payloads: list = []
+    for c in columns:
+        payloads.append(
+            c.data.astype(jnp.int32) if c.data.dtype == jnp.bool_ else c.data
+        )
+        payloads.append(c.valid.astype(jnp.int32))
+    out = jax.lax.sort(
+        tuple([drop.astype(jnp.int32)] + payloads), num_keys=1, is_stable=True
+    )
+    res = []
+    p = 1
+    for c in columns:
+        data, valid = out[p][:count], out[p + 1][:count]
+        p += 2
+        if c.data.dtype == jnp.bool_:
+            data = data.astype(jnp.bool_)
+        res.append(Column(c.type, data, valid > 0))
+    return res

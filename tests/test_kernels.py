@@ -154,3 +154,35 @@ def test_direct_pipeline_misses_and_odd_sizes():
     )
     assert np.array_equal(np.asarray(s), exp_s)
     assert np.array_equal(np.asarray(c), exp_c)
+
+
+def test_sort_based_filter_compaction():
+    """Filters over >=2^18 rows take the stable flag-sort compaction path;
+    results and row order must match the small-batch gather path."""
+    import sqlrs_tpu
+    from sqlrs_tpu.data import DeviceBatch, Schema
+    from sqlrs_tpu.types import LogicalType as LT
+
+    n = (1 << 18) + 123
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 1000, n).astype(np.int64)
+    w = rng.integers(0, 10, n).astype(np.int64)
+    null_mask = rng.random(n) < 0.1
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "big",
+        DeviceBatch.from_pydict(
+            Schema.of([("v", LT.BIGINT), ("w", LT.BIGINT)]),
+            {
+                "v": [None if m else int(x) for x, m in zip(v, null_mask)],
+                "w": w.tolist(),
+            },
+        ),
+    )
+    got = db.run("select v, w from big where v < 100 and w = 3")[0]
+    keep = (~null_mask) & (v < 100) & (w == 3)
+    exp_v = v[keep]
+    got_v = np.asarray(got.columns[0].data)
+    assert got.num_rows == int(keep.sum())
+    assert np.array_equal(got_v, exp_v)  # original row order preserved
+    assert np.array_equal(np.asarray(got.columns[1].data), w[keep])
