@@ -66,10 +66,23 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
     c_seg = segs[rng.integers(0, 5, n_cust)]
 
     def mk(schema_pairs, cols):
+        # columnar fast path: numeric numpy arrays go straight to device
+        # columns; string arrays intern through the dictionary in one pass
+        # (DeviceBatch.from_pydict builds per-element ScalarValues — fine for
+        # literals, pathological for millions of rows)
+        from sqlrs_tpu.data import Column
+        from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+
         schema = Schema.of(schema_pairs)
-        return DeviceBatch.from_pydict(
-            schema, {name: data for (name, _), data in zip(schema_pairs, cols)}
-        )
+        out = []
+        for (name, t), data in zip(schema_pairs, cols):
+            data = np.asarray(data)
+            if data.dtype.kind in ("U", "O"):
+                codes = GLOBAL_STRINGS.intern_many(list(data))
+                out.append(Column.from_numpy(t, codes))
+            else:
+                out.append(Column.from_numpy(t, data))
+        return DeviceBatch(schema, out, len(cols[0]))
 
     db.create_memory_table(
         "lineitem",
@@ -87,16 +100,8 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
                 ("l_shipmode", LT.VARCHAR),
             ],
             [
-                [int(x) for x in l_orderkey],
-                [int(x) for x in l_qty],
-                [float(x) for x in l_price],
-                [float(x) for x in l_disc],
-                [float(x) for x in l_tax],
-                list(l_flag),
-                list(l_status),
-                [int(x) for x in l_ship],
-                [int(x) for x in l_partkey],
-                list(l_shipmode),
+                l_orderkey, l_qty, l_price, l_disc, l_tax,
+                l_flag, l_status, l_ship, l_partkey, l_shipmode,
             ],
         ),
     )
@@ -109,26 +114,21 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
                 ("o_orderdate", LT.DATE),
                 ("o_orderpriority", LT.VARCHAR),
             ],
-            [
-                [int(x) for x in orders_key],
-                [int(x) for x in o_custkey],
-                [int(x) for x in o_date],
-                list(o_prio),
-            ],
+            [orders_key, o_custkey, o_date, o_prio],
         ),
     )
     db.create_memory_table(
         "customer",
         mk(
             [("c_custkey", LT.BIGINT), ("c_mktsegment", LT.VARCHAR)],
-            [[int(x) for x in np.arange(n_cust)], list(c_seg)],
+            [np.arange(n_cust), c_seg],
         ),
     )
     db.create_memory_table(
         "part",
         mk(
             [("p_partkey", LT.BIGINT), ("p_type", LT.VARCHAR)],
-            [[int(x) for x in np.arange(n_part)], list(p_type)],
+            [np.arange(n_part), p_type],
         ),
     )
     return dict(
