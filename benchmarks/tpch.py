@@ -65,71 +65,49 @@ def gen_data(db, n_lineitem: int, seed: int = 0) -> dict:
     segs = np.array(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
     c_seg = segs[rng.integers(0, 5, n_cust)]
 
-    def mk(schema_pairs, cols):
-        # columnar fast path: numeric numpy arrays go straight to device
-        # columns; string arrays intern through the dictionary in one pass
-        # (DeviceBatch.from_pydict builds per-element ScalarValues — fine for
-        # literals, pathological for millions of rows)
-        from sqlrs_tpu.data import Column
-        from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+    def mk(name, schema_pairs, cols):
+        # columnar bulk ingest straight into the host table store — no
+        # device round-trip; the device snapshot materializes on first scan
+        db.create_memory_table_numpy(name, schema_pairs, cols)
 
-        schema = Schema.of(schema_pairs)
-        out = []
-        for (name, t), data in zip(schema_pairs, cols):
-            data = np.asarray(data)
-            if data.dtype.kind in ("U", "O"):
-                codes = GLOBAL_STRINGS.intern_many(list(data))
-                out.append(Column.from_numpy(t, codes))
-            else:
-                out.append(Column.from_numpy(t, data))
-        return DeviceBatch(schema, out, len(cols[0]))
-
-    db.create_memory_table(
+    mk(
         "lineitem",
-        mk(
-            [
-                ("l_orderkey", LT.BIGINT),
-                ("l_quantity", LT.BIGINT),
-                ("l_extendedprice", LT.DOUBLE),
-                ("l_discount", LT.DOUBLE),
-                ("l_tax", LT.DOUBLE),
-                ("l_returnflag", LT.VARCHAR),
-                ("l_linestatus", LT.VARCHAR),
-                ("l_shipdate", LT.DATE),
-                ("l_partkey", LT.BIGINT),
-                ("l_shipmode", LT.VARCHAR),
-            ],
-            [
-                l_orderkey, l_qty, l_price, l_disc, l_tax,
-                l_flag, l_status, l_ship, l_partkey, l_shipmode,
-            ],
-        ),
+        [
+            ("l_orderkey", LT.BIGINT),
+            ("l_quantity", LT.BIGINT),
+            ("l_extendedprice", LT.DOUBLE),
+            ("l_discount", LT.DOUBLE),
+            ("l_tax", LT.DOUBLE),
+            ("l_returnflag", LT.VARCHAR),
+            ("l_linestatus", LT.VARCHAR),
+            ("l_shipdate", LT.DATE),
+            ("l_partkey", LT.BIGINT),
+            ("l_shipmode", LT.VARCHAR),
+        ],
+        [
+            l_orderkey, l_qty, l_price, l_disc, l_tax,
+            l_flag, l_status, l_ship, l_partkey, l_shipmode,
+        ],
     )
-    db.create_memory_table(
+    mk(
         "orders",
-        mk(
-            [
-                ("o_orderkey", LT.BIGINT),
-                ("o_custkey", LT.BIGINT),
-                ("o_orderdate", LT.DATE),
-                ("o_orderpriority", LT.VARCHAR),
-            ],
-            [orders_key, o_custkey, o_date, o_prio],
-        ),
+        [
+            ("o_orderkey", LT.BIGINT),
+            ("o_custkey", LT.BIGINT),
+            ("o_orderdate", LT.DATE),
+            ("o_orderpriority", LT.VARCHAR),
+        ],
+        [orders_key, o_custkey, o_date, o_prio],
     )
-    db.create_memory_table(
+    mk(
         "customer",
-        mk(
-            [("c_custkey", LT.BIGINT), ("c_mktsegment", LT.VARCHAR)],
-            [np.arange(n_cust), c_seg],
-        ),
+        [("c_custkey", LT.BIGINT), ("c_mktsegment", LT.VARCHAR)],
+        [np.arange(n_cust), c_seg],
     )
-    db.create_memory_table(
+    mk(
         "part",
-        mk(
-            [("p_partkey", LT.BIGINT), ("p_type", LT.VARCHAR)],
-            [np.arange(n_part), p_type],
-        ),
+        [("p_partkey", LT.BIGINT), ("p_type", LT.VARCHAR)],
+        [np.arange(n_part), p_type],
     )
     return dict(
         l_orderkey=l_orderkey, l_qty=l_qty, l_price=l_price, l_disc=l_disc,

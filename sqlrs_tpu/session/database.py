@@ -85,6 +85,30 @@ class Database:
             table,
         )
 
+    def create_memory_table_numpy(self, name: str, schema_pairs, arrays) -> None:
+        """Columnar bulk ingest: numpy arrays go straight into the host-side
+        table store (no device round-trip — the device snapshot materializes
+        lazily on first scan). String arrays intern in one pass."""
+        import numpy as np
+
+        from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+        from sqlrs_tpu.types import LogicalType
+
+        table = DataTable([n for n, _ in schema_pairs], [t for _, t in schema_pairs])
+        cols, valids = [], []
+        for (_n, t), a in zip(schema_pairs, arrays):
+            a = np.asarray(a)
+            if t == LogicalType.VARCHAR and a.dtype.kind in ("U", "O"):
+                a = GLOBAL_STRINGS.intern_many(list(a))
+            valids.append(np.ones(len(a), np.bool_))
+            cols.append(a)
+        table.append_numpy(cols, valids)
+        self.catalog.create_table(
+            name,
+            [ColumnDefinition(n, t) for n, t in schema_pairs],
+            table,
+        )
+
     def create_memory_table(self, name: str, batch: DeviceBatch) -> None:
         table = DataTable.from_batch(batch)
         self.catalog.create_table(
