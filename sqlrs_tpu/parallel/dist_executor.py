@@ -20,11 +20,11 @@ Design (SURVEY.md §7 "fixed-capacity batches + valid-count scalars"):
   single-device order. Distributed results are bit-exact with the
   single-device engine, ordering included.
 - Operators keep data sharded as long as the op is expressible with static
-  shapes and mesh collectives (scan/filter/project/simple & grouped agg/hash
-  join); everything else (ORDER BY, LIMIT windowing, DISTINCT aggs, DDL)
-  materializes and delegates to the standard executor — pipeline breakers
-  land exactly where the reference materializes (order.rs:14,
-  hash_agg.rs:32, hash_join.rs:187).
+  shapes and mesh collectives (scan/filter/project/simple & grouped agg/
+  hash join/ORDER BY/LIMIT/DISTINCT); the rest (DISTINCT aggregates, cross
+  join, DDL) materializes and delegates to the standard executor —
+  pipeline breakers land exactly where the reference materializes
+  (order.rs:14, hash_agg.rs:32, hash_join.rs:187).
 """
 
 from __future__ import annotations
@@ -189,6 +189,50 @@ class DistributedExecutor:
             k = execute_expr(op.predicate, p)
             out.parts.append(p.take(ew.selection_to_indices(k)))
         return out
+
+    def _dexec_Order(self, op: P.PhysicalOrder):
+        """Distributed ORDER BY: sample-sort exchange on the first key (ties
+        share a bucket), local stable sort with the global row index as the
+        final tiebreak — collected output is bit-exact with the
+        single-device stable sort. Doubles as compaction (dead rows are
+        dropped by the exchange)."""
+        child = self.execute(op.children[0])
+        if not isinstance(child, ShardedBatch) or child.parts:
+            return self._delegate(op, child)
+        from sqlrs_tpu.ops.sort import _directed_key
+        from sqlrs_tpu.parallel.dist_ops import dist_sort_rows
+
+        view = child.view()
+        key_cols = execute_exprs_fused([e for e, _ in op.items], view)
+        dkeys = [
+            _directed_key(c, asc) for c, (_, asc) in zip(key_cols, op.items)
+        ]
+        payload = []
+        bool_cols = []
+        for c in child.columns:
+            is_bool = c.data.dtype == jnp.bool_
+            bool_cols.append(is_bool)
+            payload.append(c.data.astype(jnp.int32) if is_bool else c.data)
+            payload.append(c.valid.astype(jnp.int32))  # sort-payload safe
+        n_dev = self.mesh.devices.size
+        cap = child.capacity
+        bucket_capacity = max(4 * cap // (n_dev * n_dev), 64)
+        while True:
+            _k, pays, alive, overflow = dist_sort_rows(
+                self.mesh, dkeys, payload, child.alive, bucket_capacity
+            )
+            if overflow == 0:
+                break
+            if bucket_capacity >= cap // n_dev + 64:
+                return self._delegate(op, child)  # pathological skew
+            bucket_capacity = min(bucket_capacity * 4, cap // n_dev + 64)
+        cols = []
+        for i, c in enumerate(child.columns):
+            data, valid = pays[2 * i], pays[2 * i + 1] > 0
+            if bool_cols[i]:
+                data = data.astype(jnp.bool_)
+            cols.append(Column(c.type, data, valid))
+        return ShardedBatch(child.schema, cols, alive, self.mesh)
 
     def _dexec_Limit(self, op: P.PhysicalLimit):
         """LIMIT/OFFSET without materializing: a global prefix count of live

@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
@@ -435,6 +436,99 @@ def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
         mbuf[:-1].reshape(n_dev, bucket_capacity), axis, 0, 0
     ).reshape(-1)
     return tuple(received), mask
+
+
+def dist_sort_rows(
+    mesh, dkeys, payload_arrays, alive, bucket_capacity: int, axis="x"
+):
+    """Distributed ORDER BY over whole rows: sample-sort exchange on the
+    FIRST directed key (ties share a value, hence a bucket, so shard i holds
+    range bucket i), then one local stable variadic sort per shard over ALL
+    directed keys with the global row index as the final tiebreak — the
+    collected result is bit-exact with the single-device stable sort,
+    including NULL placement and tie order.
+
+    dkeys: directed orderable key arrays (ops/sort._directed_key output);
+    payload_arrays: every row array to carry (column data + validity);
+    alive: live-row mask (dead rows are dropped by the exchange — the
+    distributed sort doubles as compaction).
+
+    Returns (sorted dkeys', payloads', alive', overflow) — overflow > 0
+    means some (sender, receiver) bucket exceeded bucket_capacity and the
+    caller must retry with a larger capacity (SURVEY.md §7 bucketed
+    recompile) or materialize.
+    """
+    n_dev = _axis_size(mesh, axis)
+    sample_per_shard = 64
+    first = dkeys[0]
+    if jnp.issubdtype(first.dtype, jnp.floating):
+        big = jnp.asarray(jnp.inf, first.dtype)
+    else:
+        big = jnp.asarray(jnp.iinfo(first.dtype).max, first.dtype)
+
+    def local(alive_l, *arrs):
+        nk = len(dkeys)
+        keys_l = arrs[:nk]
+        pays_l = arrs[nk:]
+        n_local = alive_l.shape[0]
+        base = jax.lax.axis_index(axis).astype(jnp.int64) * n_local
+        rowid = base + jnp.arange(n_local, dtype=jnp.int64)
+
+        first_l = jnp.where(alive_l, keys_l[0], big)
+        sorted_first = jnp.sort(first_l)
+        stride = max(n_local // sample_per_shard, 1)
+        sample = jax.lax.all_gather(
+            sorted_first[::stride][:sample_per_shard], axis
+        ).reshape(-1)
+        sample = jnp.sort(sample)
+        m = sample.shape[0]
+        splitters = sample[jnp.arange(1, n_dev) * m // n_dev]
+        dest = jnp.searchsorted(splitters, keys_l[0], side="right").astype(
+            jnp.int32
+        )
+        dest = jnp.where(alive_l, dest, n_dev)  # dead rows are dropped
+
+        send = tuple(keys_l) + (rowid,) + tuple(pays_l)
+        # count overflow before the exchange drops rows
+        order = jnp.argsort(dest, stable=True)
+        d_s = dest[order]
+        ok = d_s < n_dev
+        one = ok.astype(jnp.int64)
+        counts = jnp.zeros((n_dev,), jnp.int64).at[jnp.where(ok, d_s, 0)].add(one)
+        starts = jnp.cumsum(counts) - counts
+        pos = jnp.arange(n_local, dtype=jnp.int64) - starts[jnp.clip(d_s, 0, n_dev - 1)]
+        overflow = jnp.sum(ok & (pos >= bucket_capacity))
+
+        received, mask = _exchange_rows(send, dest, n_dev, bucket_capacity, axis)
+        keys_r = received[:nk]
+        rowid_r = received[nk]
+        pays_r = received[nk + 1 :]
+        # local stable sort: dead rows last, then directed keys, then the
+        # global row index (exact single-device tie order)
+        sort_ops = [jnp.logical_not(mask).astype(jnp.int32)]
+        sort_ops += list(keys_r) + [rowid_r]
+        out = jax.lax.sort(
+            tuple(sort_ops) + tuple(pays_r) + (mask.astype(jnp.int32),),
+            num_keys=len(sort_ops),
+            is_stable=True,
+        )
+        s_keys = out[1 : 1 + nk]
+        s_pays = out[1 + nk + 1 : -1]
+        s_mask = out[-1] > 0
+        return tuple(s_keys) + tuple(s_pays) + (s_mask, jax.lax.psum(overflow, axis)[None])
+
+    outs = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * (1 + len(dkeys) + len(payload_arrays)),
+        out_specs=P(axis),
+    )(alive, *dkeys, *payload_arrays)
+    nk = len(dkeys)
+    keys_out = outs[:nk]
+    pays_out = outs[nk : nk + len(payload_arrays)]
+    mask_out = outs[-2]
+    overflow = int(np.max(np.asarray(outs[-1])))
+    return keys_out, pays_out, mask_out, overflow
 
 
 # ---- distributed sort ----------------------------------------------------------------

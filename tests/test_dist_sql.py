@@ -149,3 +149,40 @@ def test_distributed_ddl_dml_roundtrip():
     db.run("insert into t values (1, 'a'), (2, 'b'), (3, null)")
     assert db.run_lines("select sum(v), count(w) from t") == ["6 2"]
     assert db.run_lines("select v from t where w = 'b'") == ["2"]
+
+
+def test_distributed_order_by(dbs):
+    """ORDER BY stays sharded (sample-sort exchange + local stable sort) and
+    must be bit-exact with the single-device stable sort, including ties,
+    NULL placement, desc, and LIMIT windows above it."""
+    db1, db8 = dbs
+    for sql in [
+        "select * from employee order by salary",
+        "select * from employee order by salary desc",
+        "select first_name, state from employee order by state, first_name desc",
+        "select * from employee order by salary limit 2 offset 1",
+        "select a, b from t1 order by b desc, a",
+    ]:
+        assert db8.run_lines(sql) == db1.run_lines(sql), sql
+
+
+def test_distributed_order_by_scale():
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    n = 5000
+    v = rng.integers(0, 40, n)  # heavy ties exercise tie ordering
+    w = rng.integers(-1000, 1000, n)
+    db1, db8 = Database(), Database(n_devices=8)
+    for db in (db1, db8):
+        from sqlrs_tpu.types import LogicalType as LT
+
+        db.create_memory_table_numpy(
+            "s", [("v", LT.BIGINT), ("w", LT.BIGINT)], [v, w]
+        )
+    for sql in [
+        "select v, w from s where w > 0 order by v",
+        "select v, w from s order by v desc, w",
+        "select v from s order by v limit 17 offset 5",
+    ]:
+        assert db8.run_lines(sql) == db1.run_lines(sql), sql
