@@ -34,7 +34,13 @@ from sqlrs_tpu.ops.grouping import (
     seg_sum,
 )
 from sqlrs_tpu.ops.join import equi_join_pairs
-from sqlrs_tpu.ops.sort import compact_rows, orderable_key, sort_rows
+from sqlrs_tpu.ops.sort import (
+    compact_indices,
+    compact_rows,
+    orderable_key,
+    sort_indices,
+    sort_rows,
+)
 from sqlrs_tpu.plan import physical as P
 from sqlrs_tpu.storage.memory import DataTable, null_column
 from sqlrs_tpu.types import LogicalType, numpy_dtype_for
@@ -88,14 +94,18 @@ class Executor:
         child = self.execute(op.children[0])
         (keep,) = execute_exprs_fused([op.predicate], child)
         if child.num_rows >= self._COMPACT_SORT_MIN_ROWS and child.columns:
-            # large batches: compact via ONE stable flag-sort (device-
-            # resident; the gather path ships the mask to the host and pays
-            # per-column N-sized gathers)
+            # large batches compact device-resident: narrow tables carry the
+            # rows through ONE stable flag-sort; wide tables sort only a
+            # permutation (2 operands) and gather — wide payload sorts are
+            # heavy to compile AND run (21 mixed operands ~5s at 8.4M)
             count = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
             if count == child.num_rows:
                 return child
-            cols = compact_rows(keep, child.columns, count)
-            return DeviceBatch(child.schema, cols, count)
+            if len(child.columns) <= 4:
+                cols = compact_rows(keep, child.columns, count)
+                return DeviceBatch(child.schema, cols, count)
+            idx = compact_indices(keep, count)
+            return child.take(idx)
         idx = ew.selection_to_indices(keep)
         return child.take(idx)
 
@@ -114,8 +124,10 @@ class Executor:
             return child
         key_cols = execute_exprs_fused([e for e, _ in op.items], child)
         keys = [(c, asc) for c, (_, asc) in zip(key_cols, op.items)]
-        cols = sort_rows(keys, child.columns)
-        return DeviceBatch(child.schema, cols, child.num_rows)
+        if len(child.columns) <= 6:
+            cols = sort_rows(keys, child.columns)
+            return DeviceBatch(child.schema, cols, child.num_rows)
+        return child.take(sort_indices(keys))
 
     # ---- aggregation ------------------------------------------------------------
 

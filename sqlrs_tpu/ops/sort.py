@@ -58,6 +58,24 @@ def _directed_key(col: Column, asc: bool):
     return jnp.where(valid, key, null_val)
 
 
+def compact_indices(keep: Column, count: int):
+    """Device-resident compaction permutation: ONE 2-operand stable sort by
+    the drop flag, sliced to `count`. Pairs with per-column gathers for wide
+    tables, where a full payload-carrying sort is heavier to compile and run
+    (measured: 21-operand mixed stable sort ~5s at 8.4M on v5e vs ~0.25s for
+    2 operands + ~0.34s/column gathers)."""
+    import jax
+
+    drop = jnp.logical_not(jnp.logical_and(keep.data, keep.valid))
+    n = drop.shape[0]
+    _, perm = jax.lax.sort(
+        (drop.astype(jnp.int32), jnp.arange(n, dtype=jnp.int64)),
+        num_keys=1,
+        is_stable=True,
+    )
+    return perm[:count]
+
+
 def sort_indices(items: list[tuple[Column, bool]]):
     """Permutation sorting rows by the given (column, ascending) keys;
     stable, NULLs first. ONE variadic lax.sort carrying the row index as
