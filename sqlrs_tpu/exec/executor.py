@@ -141,6 +141,26 @@ class Executor:
 
     def _aggregate(self, op, groups, aggs, child: DeviceBatch) -> DeviceBatch:
         n = child.num_rows
+        if not groups and not any(a.distinct for a in aggs) and n > 0:
+            # ungrouped aggregates are plain masked reductions — XLA lowers
+            # them at memory speed (the segment-op path scatters per element:
+            # 12-40M elem/s on v5e)
+            distinct_args: list = []
+            arg_keys: dict[str, int] = {}
+            for a in aggs:
+                if a.arg is not None and repr(a.arg) not in arg_keys:
+                    arg_keys[repr(a.arg)] = len(distinct_args)
+                    distinct_args.append(a.arg)
+            arg_cols = execute_exprs_fused(distinct_args, child)
+            out_cols = [
+                self._reduce_ungrouped(
+                    a,
+                    arg_cols[arg_keys[repr(a.arg)]] if a.arg is not None else None,
+                    n,
+                )
+                for a in aggs
+            ]
+            return DeviceBatch(_schema(op), out_cols, 1)
         if groups and not any(a.distinct for a in aggs):
             # sorted-run fast path: one variadic sort, no N-sized scatters
             # (ops/grouped_agg.py; DISTINCT aggs use the legacy dedup path)
@@ -179,6 +199,43 @@ class Executor:
         for a in aggs:
             out_cols.append(self._eval_aggregate(a, child, gid, n_groups))
         return DeviceBatch(_schema(op), out_cols, n_groups)
+
+    def _reduce_ungrouped(self, a, col, n: int) -> Column:
+        rt = a.return_type()
+        if col is None:  # count(*)
+            data = jnp.full((1,), n, jnp.int64)
+            return Column(LogicalType.BIGINT, data, jnp.ones(1, jnp.bool_))
+        ok = col.valid
+        cnt = jnp.sum(ok.astype(jnp.int64))
+        has = (cnt > 0)[None]
+        name = a.function_name
+        if name == "count":
+            return Column(LogicalType.BIGINT, cnt[None], jnp.ones(1, jnp.bool_))
+        if name in ("sum", "avg"):
+            acc_t = LogicalType.DOUBLE if name == "avg" else rt
+            s = jnp.sum(
+                jnp.where(ok, col.data.astype(numpy_dtype_for(acc_t)), 0)
+            )
+            if name == "avg":
+                s = s / jnp.maximum(cnt, 1).astype(jnp.float64)
+            return Column(rt, s[None].astype(numpy_dtype_for(rt)), has)
+        if name in ("min", "max"):
+            if col.type == LogicalType.VARCHAR:
+                key, _ = orderable_key(col)
+                big = jnp.iinfo(key.dtype).max
+                k = jnp.where(ok, key, big if name == "min" else -big)
+                i = jnp.argmin(k) if name == "min" else jnp.argmax(k)
+                return Column(LogicalType.VARCHAR, col.data[i][None], has)
+            dt = numpy_dtype_for(col.type)
+            if col.type.is_float():
+                sent = np.inf if name == "min" else -np.inf
+            else:
+                ii = np.iinfo(dt)
+                sent = ii.max if name == "min" else ii.min
+            v = jnp.where(ok, col.data, jnp.asarray(sent, col.data.dtype))
+            r = jnp.min(v) if name == "min" else jnp.max(v)
+            return Column(rt, r[None].astype(numpy_dtype_for(rt)), has)
+        raise ExecutorError(f"unknown aggregate {name}")
 
     def _eval_aggregate(
         self, a: BoundAggregate, batch: DeviceBatch, gid, n_groups: int
