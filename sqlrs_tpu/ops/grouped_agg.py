@@ -83,11 +83,53 @@ def sorted_grouped_aggregate(
         )
 
     # ---- operand assembly (host) -----------------------------------------
-    sort_keys = []
+    # SMALL keys (VARCHAR lex ranks and BOOLEANs — their bit widths are
+    # host-known) pack, WITH their validity bits, into shared int64 composite
+    # sort operands. Multi-key comparators dominate XLA TPU sort COMPILE
+    # time (measured ~6x: 114s for 5 keys vs 18s for 1 key over the same 15
+    # operands), so collapsing num_keys pays at compile and at run time.
+    from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+
+    sort_keys: list = []
+    key_layout: list = []  # per key: ("small", op, shift, bits) | ("plain", op)
+    acc = None  # current composite (array, bits_used)
+    rank_bits = max(len(GLOBAL_STRINGS).bit_length(), 1)
+
+    def _flush():
+        nonlocal acc
+        if acc is not None:
+            sort_keys.append(acc[0])
+            acc = None
+
     for c in key_cols:
         key, valid = orderable_key(c)
-        sort_keys.append(valid.astype(jnp.int32))
-        sort_keys.append(jnp.where(valid, key, 0))
+        if c.type == LogicalType.VARCHAR:
+            bits = rank_bits
+        elif c.type == LogicalType.BOOLEAN:
+            bits = 1
+        else:
+            bits = None
+        if bits is None or bits + 1 > 62:
+            _flush()
+            key_layout.append(("plain", len(sort_keys), 0, 0))
+            sort_keys.append(valid.astype(jnp.int32))
+            sort_keys.append(jnp.where(valid, key, 0))
+            continue
+        unit = (valid.astype(jnp.int64) << bits) | jnp.where(
+            valid, key.astype(jnp.int64), 0
+        )
+        if acc is not None and acc[1] + bits + 1 <= 62:
+            arr = (acc[0] << (bits + 1)) | unit
+            # earlier fields already shifted: update their recorded shifts
+            for i, lay in enumerate(key_layout):
+                if lay[0] == "small" and lay[1] == len(sort_keys):
+                    key_layout[i] = ("small", lay[1], lay[2] + bits + 1, lay[3])
+            acc = (arr, acc[1] + bits + 1)
+        else:
+            _flush()
+            acc = (unit, bits + 1)
+        key_layout.append(("small", len(sort_keys), 0, bits))
+    _flush()
     num_keys = len(sort_keys)
     # the row index rides as the LEAST-SIGNIFICANT SORT KEY, so each run's
     # first sorted row is its first-appearance representative — no segmented
@@ -131,7 +173,9 @@ def sorted_grouped_aggregate(
         payloads.append(col.valid.astype(jnp.int32))
 
     spec = (
-        tuple(c.type for c in key_cols),
+        tuple(
+            (c.type,) + tuple(lay) for c, lay in zip(key_cols, key_layout)
+        ),
         tuple(
             (name, col.type if col is not None else None, rt, slot)
             for (name, col, rt), slot in zip(agg_specs, agg_slots)
@@ -284,9 +328,22 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
     # ---- group key output columns -------------------------------------------
     gdata, gvalid = [], []
     p = 1
-    for i, kt in enumerate(key_types):
-        valid_f = out[2 * i]  # the (valid, encoded key) sort fields
-        key_f = out[2 * i + 1]
+    for kt, kind, op_i, shift, bits in key_types:
+        if kind == "small":
+            composite = out[op_i]
+            valid_bit = (composite >> (shift + bits)) & 1
+            if kt == LogicalType.VARCHAR:
+                raw = s_payloads[p]
+                p += 1
+            else:  # BOOLEAN
+                raw = ((composite >> shift) & ((1 << bits) - 1)).astype(
+                    jnp.int32
+                )
+            gdata.append(_unsortable(place(raw[last]), kt))
+            gvalid.append(place((valid_bit[last] > 0).astype(jnp.int32)) > 0)
+            continue
+        valid_f = out[op_i]  # the (valid, encoded key) sort fields
+        key_f = out[op_i + 1]
         if kt == LogicalType.VARCHAR:
             raw = s_payloads[p]
             p += 1
