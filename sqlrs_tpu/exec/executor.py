@@ -132,14 +132,29 @@ class Executor:
     # ---- aggregation ------------------------------------------------------------
 
     def _exec_SimpleAgg(self, op: P.PhysicalSimpleAgg) -> DeviceBatch:
-        child = self.execute(op.children[0])
-        return self._aggregate(op, [], op.aggregates, child)
+        src, alive = self._fusable_filter_input(op)
+        return self._aggregate(op, [], op.aggregates, src, alive)
 
     def _exec_HashAgg(self, op: P.PhysicalHashAgg) -> DeviceBatch:
-        child = self.execute(op.children[0])
-        return self._aggregate(op, op.groups, op.aggregates, child)
+        src, alive = self._fusable_filter_input(op)
+        return self._aggregate(op, op.groups, op.aggregates, src, alive)
 
-    def _aggregate(self, op, groups, aggs, child: DeviceBatch) -> DeviceBatch:
+    def _fusable_filter_input(self, op):
+        """Filter directly under an aggregate fuses as an alive-mask: the
+        aggregate excludes masked rows itself, skipping the compaction
+        (permutation sort + per-column gathers) entirely."""
+        child_op = op.children[0]
+        if (
+            isinstance(child_op, P.PhysicalFilter)
+            and not any(a.distinct for a in op.aggregates)
+        ):
+            src = self.execute(child_op.children[0])
+            if src.num_rows > 0:
+                (keep,) = execute_exprs_fused([child_op.predicate], src)
+                return src, jnp.logical_and(keep.data, keep.valid)
+        return self.execute(child_op), None
+
+    def _aggregate(self, op, groups, aggs, child, alive=None) -> DeviceBatch:
         n = child.num_rows
         if not groups and not any(a.distinct for a in aggs) and n > 0:
             # ungrouped aggregates are plain masked reductions — XLA lowers
@@ -157,6 +172,7 @@ class Executor:
                     a,
                     arg_cols[arg_keys[repr(a.arg)]] if a.arg is not None else None,
                     n,
+                    alive,
                 )
                 for a in aggs
             ]
@@ -181,7 +197,9 @@ class Executor:
                 if a.arg is not None:
                     col = arg_cols[arg_keys[repr(a.arg)]]
                 specs.append((a.function_name, col, a.return_type()))
-            gcols, acols, n_groups = sorted_grouped_aggregate(key_cols, specs)
+            gcols, acols, n_groups = sorted_grouped_aggregate(
+                key_cols, specs, alive=alive
+            )
             return DeviceBatch(_schema(op), gcols + acols, n_groups)
         if groups:
             key_cols = [execute_expr(g, child) for g in groups]
@@ -200,12 +218,15 @@ class Executor:
             out_cols.append(self._eval_aggregate(a, child, gid, n_groups))
         return DeviceBatch(_schema(op), out_cols, n_groups)
 
-    def _reduce_ungrouped(self, a, col, n: int) -> Column:
+    def _reduce_ungrouped(self, a, col, n: int, alive=None) -> Column:
         rt = a.return_type()
         if col is None:  # count(*)
-            data = jnp.full((1,), n, jnp.int64)
+            if alive is None:
+                data = jnp.full((1,), n, jnp.int64)
+            else:
+                data = jnp.sum(alive.astype(jnp.int64))[None]
             return Column(LogicalType.BIGINT, data, jnp.ones(1, jnp.bool_))
-        ok = col.valid
+        ok = col.valid if alive is None else (col.valid & alive)
         cnt = jnp.sum(ok.astype(jnp.int64))
         has = (cnt > 0)[None]
         name = a.function_name

@@ -61,10 +61,17 @@ def _seg_scan_best(values, payload, new_run, want_min: bool):
 def sorted_grouped_aggregate(
     key_cols: list[Column],
     agg_specs: list[tuple[str, Optional[Column], LogicalType]],
+    alive=None,
 ):
     """agg_specs: (function_name, input column or None for count(*),
     result logical type). Returns (group_cols, agg_cols, n_groups) with
     groups in first-appearance order. No DISTINCT here (caller gates).
+
+    `alive` (optional bool array) excludes rows WITHOUT compacting first —
+    the fused Filter→GROUP BY path: dead rows ride a leading dead-flag sort
+    key to the end, never open runs, and are masked out of every aggregate
+    (compaction costs a permutation sort + per-column gathers; the mask
+    costs one extra sort operand).
 
     Compiled as TWO jit programs split only at the n_groups host sync (the
     data-dependent output size): phase 1 = variadic sort + run detection,
@@ -94,6 +101,9 @@ def sorted_grouped_aggregate(
     key_layout: list = []  # per key: ("small", op, shift, bits) | ("plain", op)
     acc = None  # current composite (array, bits_used)
     rank_bits = max(len(GLOBAL_STRINGS).bit_length(), 1)
+    has_alive = alive is not None
+    if has_alive:
+        sort_keys.append(jnp.logical_not(alive).astype(jnp.int32))
 
     def _flush():
         nonlocal acc
@@ -136,6 +146,8 @@ def sorted_grouped_aggregate(
     # min scan needed (associative_scan unrolls log2(N) HLO stages and
     # dominated compile time)
     payloads: list = [jnp.arange(n, dtype=jnp.int32)]
+    if has_alive:
+        payloads.append(alive.astype(jnp.int32))
     for c in key_cols:
         # non-VARCHAR key values are reconstructed from the sort key fields
         # themselves (orderable encoding is invertible); only dictionary
@@ -181,10 +193,11 @@ def sorted_grouped_aggregate(
             for (name, col, rt), slot in zip(agg_specs, agg_slots)
         ),
         len(slot_cols),
+        has_alive,
     )
 
     out, new_run, rid, n_runs = _agg_phase1(
-        tuple(sort_keys + payloads), num_keys
+        tuple(sort_keys + payloads), num_keys, has_alive
     )
     n_groups = int(n_runs)  # pipeline-breaker sync
     r_cap = next_pow2(max(n_groups, 8))
@@ -207,20 +220,27 @@ def sorted_grouped_aggregate(
 _BLK = 128
 
 
-@partial(jax.jit, static_argnames=("num_keys",))
-def _agg_phase1(ops, num_keys: int):
+@partial(jax.jit, static_argnames=("num_keys", "has_alive"))
+def _agg_phase1(ops, num_keys: int, has_alive: bool = False):
     """Variadic sort + run-boundary detection; returns the sorted operands,
     the run-start mask, run ids, and the run count (device scalar). The row
     index (first payload) participates as the least-significant sort key —
-    run boundaries are computed over the true key fields only."""
+    run boundaries are computed over the true key fields only. With
+    has_alive, a leading dead-flag key sends masked rows to the end and they
+    never open runs."""
     out = lax.sort(tuple(ops), num_keys=num_keys + 1)
     n = out[0].shape[0]
     new_run = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
-    for arr in out[:num_keys]:
+    lo = 1 if has_alive else 0  # skip the dead flag for boundary detection
+    for arr in out[lo:num_keys]:
         d = arr[1:] != arr[:-1]
         new_run = new_run.at[1:].set(jnp.logical_or(new_run[1:], d))
+    if has_alive:
+        alive_s = out[num_keys + 1] > 0  # payloads: [rowidx, alive, ...]
+        new_run = new_run & alive_s
     rid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-    return out, new_run, rid, rid[-1] + 1
+    n_runs = jnp.sum(new_run.astype(jnp.int32))
+    return out, new_run, rid, n_runs
 
 
 @partial(jax.jit, static_argnames=("num_keys", "spec", "r_cap"))
@@ -237,8 +257,9 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
     33.5M int64 on v5e)."""
     from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
 
-    key_types, agg_items, n_slots = spec
+    key_types, agg_items, n_slots, has_alive = spec
     s_payloads = list(out[num_keys:])
+    alive_s = (s_payloads[1] > 0) if has_alive else None
     n = out[0].shape[0]
     pad_n = (-n) % _BLK
 
@@ -327,7 +348,7 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
 
     # ---- group key output columns -------------------------------------------
     gdata, gvalid = [], []
-    p = 1
+    p = 2 if has_alive else 1
     for kt, kind, op_i, shift, bits in key_types:
         if kind == "small":
             composite = out[op_i]
@@ -358,12 +379,17 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
     adata, avalid = [], []
     for name, ct, rt, slot in agg_items:
         if ct is None:  # count(*)
-            cnt = (ends - prev_end).astype(jnp.int64)
+            if has_alive:
+                cnt = run_sum(alive_s.astype(jnp.int64))
+            else:
+                cnt = (ends - prev_end).astype(jnp.int64)
             adata.append(place(jnp.where(live, cnt, 0)))
             avalid.append(ones)
             continue
         data = s_payloads[slot_base + 2 * slot]  # VARCHAR min/max: packed
         valid = s_payloads[slot_base + 2 * slot + 1] > 0
+        if has_alive:
+            valid = valid & alive_s
         if slot not in counts_cache:
             counts_cache[slot] = run_sum(valid.astype(jnp.int64))
         counts = counts_cache[slot]

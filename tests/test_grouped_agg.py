@@ -135,3 +135,39 @@ def test_single_group():
     assert n == 1
     assert a[0].to_pylist() == [4950]
     assert a[1].to_pylist() == [0] and a[2].to_pylist() == [99]
+
+
+def test_filter_fused_into_aggregate_matches_compacted():
+    """Filter directly under GROUP BY / SimpleAgg fuses as an alive-mask;
+    results must match running the filter standalone (compaction path)."""
+    import numpy as np
+
+    import sqlrs_tpu
+    from sqlrs_tpu.types import LogicalType as LT
+
+    rng = np.random.default_rng(21)
+    n = 40_000
+    k = rng.integers(0, 50, n)
+    v = rng.integers(-100, 100, n)
+    db = sqlrs_tpu.Database()
+    db.create_memory_table_numpy("t", [("k", LT.BIGINT), ("v", LT.BIGINT)], [k, v])
+    got = db.run_lines(
+        "select k, sum(v), count(*), min(v), max(v) from t where v > 10 group by k"
+    )
+    # oracle via numpy
+    m = v > 10
+    order = []
+    seen = {}
+    for kk in k[m]:
+        if kk not in seen:
+            seen[kk] = len(order)
+            order.append(kk)
+    exp = []
+    for kk in order:
+        sel = m & (k == kk)
+        exp.append(
+            f"{kk} {v[sel].sum()} {sel.sum()} {v[sel].min()} {v[sel].max()}"
+        )
+    assert got == exp
+    got1 = db.run_lines("select sum(v), count(*) from t where v > 9000")
+    assert got1 == ["NULL 0"]
