@@ -416,23 +416,51 @@ def _empty_result() -> DeviceBatch:
     return DeviceBatch(Schema(()), [], 0)
 
 
+@jax.jit
+def _gather_pairs_jit(l_datas, l_valids, r_datas, r_valids, li, ri, l_live):
+    """Materialize join output columns in ONE compiled program (per-column
+    eager gathers cost a dispatch each — expensive over remote-TPU relays)."""
+    ld = tuple(a[li] for a in l_datas)
+    lv = tuple(a[li] for a in l_valids)
+    if l_live is not None:
+        lv = tuple(v & l_live for v in lv)
+    return ld, lv, tuple(a[ri] for a in r_datas), tuple(a[ri] for a in r_valids)
+
+
+def _gather_pairs(op, left, right, li, ri, l_live=None) -> DeviceBatch:
+    ld, lv, rd, rv = _gather_pairs_jit(
+        tuple(c.data for c in left.columns),
+        tuple(c.valid for c in left.columns),
+        tuple(c.data for c in right.columns),
+        tuple(c.valid for c in right.columns),
+        li,
+        ri,
+        l_live,
+    )
+    n = int(li.shape[0])
+    cols: list[Column] = [
+        Column(c.type, d, v) for c, d, v in zip(left.columns, ld, lv)
+    ]
+    cols += [Column(c.type, d, v) for c, d, v in zip(right.columns, rd, rv)]
+    return DeviceBatch(_schema(op), cols, n)
+
+
 def _merge_rows_nullable(op, left: DeviceBatch, right: DeviceBatch, l_idx, r_idx) -> DeviceBatch:
     """Like _merge_rows but a -1 left index means NULL left columns for that
     row (mixed matched/unmatched-right emission)."""
-    n = len(l_idx)
     li = jnp.asarray(np.maximum(l_idx, 0))
-    l_valid = jnp.asarray(l_idx >= 0)
+    l_valid = jnp.asarray(np.asarray(l_idx) >= 0)
     ri = jnp.asarray(r_idx)
-    cols: list[Column] = []
-    for c in left.columns:
-        cols.append(Column(c.type, c.data[li], jnp.logical_and(c.valid[li], l_valid)))
-    cols.extend(c.take(ri) for c in right.columns)
-    return DeviceBatch(_schema(op), cols, n)
+    return _gather_pairs(op, left, right, li, ri, l_live=l_valid)
 
 
 def _merge_rows(op, left: DeviceBatch, right: DeviceBatch, l_idx, r_idx) -> DeviceBatch:
     """Gather (left_rows ++ right_rows) into the join output layout; None on a
     side means all-NULL columns (unmatched-row passes)."""
+    if l_idx is not None and r_idx is not None:
+        return _gather_pairs(
+            op, left, right, jnp.asarray(l_idx), jnp.asarray(r_idx)
+        )
     n = len(l_idx) if l_idx is not None else len(r_idx)
     cols: list[Column] = []
     if l_idx is not None:

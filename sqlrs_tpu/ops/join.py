@@ -42,15 +42,26 @@ from sqlrs_tpu.ops.sort import orderable_key
 _BLK = 128
 
 
-@partial(jax.jit, static_argnames=("num_keys", "nl"))
-def _pairs_phase_a(ops, num_keys: int, nl: int):
-    """ops: per key column (valid int32, encoded key) over the CONCATENATED
-    rows (left ++ right), then payload (row position). Returns per-probe-row
-    (starts, counts) into the build side sorted by key id, plus the stably
-    sorted build row order and the total pair count."""
+@partial(jax.jit, static_argnames=("num_keys",))
+def _pairs_phase_a(l_ops, r_ops, num_keys: int):
+    """l_ops/r_ops: per key column (valid, encoded key) per side. The sides
+    are concatenated INSIDE the program (eager concats cost a dispatch each
+    over remote-TPU relays). Returns per-probe-row (starts, counts) into the
+    build side sorted by key id, plus the stably sorted build row order and
+    the total pair count."""
+    nl = l_ops[0].shape[0]
+    nr = r_ops[0].shape[0]
+    n = nl + nr
+    ops: list = []
+    for i in range(0, num_keys, 2):
+        valid = jnp.concatenate(
+            [l_ops[i].astype(jnp.int32), r_ops[i].astype(jnp.int32)]
+        )
+        key = jnp.concatenate([l_ops[i + 1], r_ops[i + 1]])
+        ops.append(valid)
+        ops.append(jnp.where(valid > 0, key, 0))
+    ops.append(jnp.arange(n, dtype=jnp.int64))  # payload: row position
     out = lax.sort(tuple(ops), num_keys=num_keys)
-    n = out[0].shape[0]
-    nr = n - nl
     # key ids from run boundaries over the sorted key fields
     boundary = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
     for arr in out[:num_keys]:
@@ -108,17 +119,17 @@ def equi_join_pairs(
     nr = len(right_keys[0])
     if nl == 0 or nr == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    ops: list = []
+    l_ops: list = []
+    r_ops: list = []
     for l, r in zip(left_keys, right_keys):
         lk, lv = orderable_key(l)
         rk, rv = orderable_key(r)
-        valid = jnp.concatenate([lv, rv]).astype(jnp.int32)
-        key = jnp.concatenate([lk, rk.astype(lk.dtype)])
-        ops.append(valid)
-        ops.append(jnp.where(valid > 0, key, 0))
-    num_keys = len(ops)
-    ops.append(jnp.arange(nl + nr, dtype=jnp.int64))  # payload: row position
-    starts, counts, order, total = _pairs_phase_a(tuple(ops), num_keys, nl)
+        l_ops += [lv, lk]
+        r_ops += [rv, rk.astype(lk.dtype)]
+    num_keys = len(l_ops)
+    starts, counts, order, total = _pairs_phase_a(
+        tuple(l_ops), tuple(r_ops), num_keys
+    )
     total = int(total)  # the single pipeline-breaker sync
     if total == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
