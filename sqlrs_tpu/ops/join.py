@@ -14,11 +14,10 @@ NULL join keys never match (SQL equality semantics).
 Device-resident end to end: TWO jit programs split at the single
 pair-count host sync —
 
-  phase A: one variadic sort of the concatenated key columns assigns shared
-  key ids (exact multi-column equality, NULL-aware), the build side is
-  stably sorted by key id, and per-probe-row match ranges come from the
-  merge-rank trick (ops/pipelines._sorted_ranks_left — no per-query binary
-  search);
+  phase A: one variadic sort of the concatenated key columns with the row
+  position as the final sort key (build rows precede probe rows within each
+  key, in insertion order); prefix sums/maxes then hand every probe row its
+  match range — no searches, no N-sized gathers;
   phase B (static total): expands ranges into (left_row, right_row) pairs
   with jnp.repeat(total_repeat_length=...).
 
@@ -36,11 +35,7 @@ import numpy as np
 from jax import lax
 
 from sqlrs_tpu.data import Column
-from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
 from sqlrs_tpu.ops.sort import orderable_key
-
-_BLK = 128
-
 
 @partial(jax.jit, static_argnames=("num_keys",))
 def _pairs_phase_a(l_ops, r_ops, num_keys: int):
@@ -48,7 +43,14 @@ def _pairs_phase_a(l_ops, r_ops, num_keys: int):
     are concatenated INSIDE the program (eager concats cost a dispatch each
     over remote-TPU relays). Returns per-probe-row (starts, counts) into the
     build side sorted by key id, plus the stably sorted build row order and
-    the total pair count."""
+    the total pair count.
+
+    Pure streaming formulation: ONE combined sort with the row position as
+    the final key (so within each key run, build rows precede probe rows, in
+    insertion order), then prefix sums/maxes give every probe row its match
+    range — no per-query searches, no N-sized gathers (probe counts via
+    range queries cost a 128-wide gathered row per probe; with N probes
+    that was gigabytes of gather traffic)."""
     nl = l_ops[0].shape[0]
     nr = r_ops[0].shape[0]
     n = nl + nr
@@ -60,37 +62,44 @@ def _pairs_phase_a(l_ops, r_ops, num_keys: int):
         key = jnp.concatenate([l_ops[i + 1], r_ops[i + 1]])
         ops.append(valid)
         ops.append(jnp.where(valid > 0, key, 0))
-    ops.append(jnp.arange(n, dtype=jnp.int64))  # payload: row position
-    out = lax.sort(tuple(ops), num_keys=num_keys)
-    # key ids from run boundaries over the sorted key fields
+    ops.append(jnp.arange(n, dtype=jnp.int64))  # position: the FINAL sort key
+    out = lax.sort(tuple(ops), num_keys=num_keys + 1)
+    pos = out[num_keys]
     boundary = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
     for arr in out[:num_keys]:
         d = arr[1:] != arr[:-1]
         boundary = boundary.at[1:].set(jnp.logical_or(boundary[1:], d))
-    gid_sorted = jnp.cumsum(boundary.astype(jnp.int64)) - 1
-    pos = out[num_keys]  # original row position (left: [0,nl), right: nl+j)
-    gid = jnp.zeros(n, dtype=jnp.int64).at[pos].set(gid_sorted)
-    # all-keys-valid masks (valid fields are the even sort operands)
     allvalid = jnp.ones(n, dtype=jnp.bool_)
-    for arr in ops[0:num_keys:2]:
+    for arr in out[0:num_keys:2]:
         allvalid = allvalid & (arr > 0)
-    lg, rg = gid[:nl], gid[nl:]
-    lvalid, rvalid = allvalid[:nl], allvalid[nl:]
 
-    big = jnp.int64(jnp.iinfo(jnp.int64).max)
-    lg_m = jnp.where(lvalid, lg, big)  # invalid build rows sort last
-    order = jnp.argsort(lg_m, stable=True)  # insertion order within key
-    lg_sorted = lg_m[order]
-
-    pad = (-nl) % _BLK
-    lg2d = (
-        jnp.concatenate([lg_sorted, jnp.full((pad,), big)]) if pad else lg_sorted
-    ).reshape(-1, _BLK)
-    probe_g = jnp.where(rvalid, rg, -1)
-    ranks = _sorted_ranks_left(lg2d, jnp.concatenate([probe_g, probe_g + 1]))
-    starts, ends = ranks[:nr], ranks[nr:]
-    counts = jnp.where(rvalid, ends - starts, 0)
-    return starts, counts, order, jnp.sum(counts)
+    is_left = pos < nl
+    is_lv = is_left & allvalid  # valid build rows
+    cum_left = jnp.cumsum(is_lv.astype(jnp.int64))  # inclusive prefix
+    # valid-build count BEFORE each run start, broadcast through the run:
+    # run starts carry a non-decreasing prefix, so a running max propagates
+    cl0 = lax.cummax(
+        jnp.where(boundary, cum_left - is_lv.astype(jnp.int64), 0)
+    )
+    # build rows precede probe rows within a run (position is a sort key),
+    # so at any probe row the run's build rows are fully counted
+    counts_sorted = cum_left - cl0
+    is_rv = jnp.logical_not(is_left) & allvalid
+    packed = jnp.where(is_rv, (cl0 << 31) | counts_sorted, 0)
+    probe_pos = jnp.where(is_rv, pos - nl, nr)
+    packed_by_probe = (
+        jnp.zeros((nr + 1,), jnp.int64).at[probe_pos].set(packed)[:nr]
+    )
+    starts = packed_by_probe >> 31
+    counts = packed_by_probe & ((1 << 31) - 1)
+    # build-side order: valid build rows first, already in (key, insertion)
+    # order — one cheap 2-operand stable extraction sort
+    _, order = lax.sort(
+        (jnp.logical_not(is_lv).astype(jnp.int32), pos),
+        num_keys=1,
+        is_stable=True,
+    )
+    return starts, counts, order[:nl], jnp.sum(counts)
 
 
 @partial(jax.jit, static_argnames=("total",))
