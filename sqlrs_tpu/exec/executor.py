@@ -139,6 +139,15 @@ class Executor:
         src, alive = self._fusable_filter_input(op)
         return self._aggregate(op, op.groups, op.aggregates, src, alive)
 
+    def _filter_fused_side(self, child_op):
+        """(batch, alive_mask) for a join side, folding one Filter level."""
+        if isinstance(child_op, P.PhysicalFilter):
+            src = self.execute(child_op.children[0])
+            if src.num_rows > 0:
+                (keep,) = execute_exprs_fused([child_op.predicate], src)
+                return src, jnp.logical_and(keep.data, keep.valid)
+        return self.execute(child_op), None
+
     def _fusable_filter_input(self, op):
         """Filter directly under an aggregate fuses as an alive-mask: the
         aggregate excludes masked rows itself, skipping the compaction
@@ -311,10 +320,22 @@ class Executor:
     # ---- joins ----------------------------------------------------------------
 
     def _exec_HashJoin(self, op: P.PhysicalHashJoin) -> DeviceBatch:
-        left = self.execute(op.children[0])
-        right = self.execute(op.children[1])
+        # INNER joins fuse Filter children as alive-masks folded into the
+        # join-key validity: masked rows simply never produce pairs, skipping
+        # the compaction entirely (pair emission order is unchanged — probe
+        # rows keep their relative order either way)
+        if op.join_type == "inner":
+            left, l_alive = self._filter_fused_side(op.children[0])
+            right, r_alive = self._filter_fused_side(op.children[1])
+        else:
+            left, l_alive = self.execute(op.children[0]), None
+            right, r_alive = self.execute(op.children[1]), None
         left_keys = execute_exprs_fused([l for l, _ in op.on], left)
         right_keys = execute_exprs_fused([r for _, r in op.on], right)
+        if l_alive is not None:
+            left_keys = [c.mask_invalid(l_alive) for c in left_keys]
+        if r_alive is not None:
+            right_keys = [c.mask_invalid(r_alive) for c in right_keys]
         l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
 
         if op.filter is not None and len(l_idx):
