@@ -149,7 +149,14 @@ class BoundConjunction(BoundExpr):
         return LogicalType.BOOLEAN
 
     def name(self) -> str:
-        return f" {self.op} ".join(a.name() for a in self.args)
+        def part(a: BoundExpr) -> str:
+            # parenthesize a nested conjunction of the other op — without
+            # this, mixed AND/OR trees render ambiguously in explain output
+            if isinstance(a, BoundConjunction) and a.op != self.op:
+                return f"({a.name()})"
+            return a.name()
+
+        return f" {self.op} ".join(part(a) for a in self.args)
 
     def children(self):
         return self.args

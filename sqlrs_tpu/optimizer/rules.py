@@ -81,6 +81,15 @@ def split_conjuncts(expr: BoundExpr) -> list[BoundExpr]:
     return [expr]
 
 
+def split_disjuncts(expr: BoundExpr) -> list[BoundExpr]:
+    if isinstance(expr, BoundConjunction) and expr.op == "OR":
+        out: list[BoundExpr] = []
+        for a in expr.args:
+            out.extend(split_disjuncts(a))
+        return out
+    return [expr]
+
+
 def combine_conjuncts(exprs: list[BoundExpr]) -> Optional[BoundExpr]:
     if not exprs:
         return None
@@ -181,6 +190,73 @@ class PushPredicateThroughJoin(Rule):
             filter=join.filter,
         )
         return _filter_over(left_f + common, new_join)
+
+
+class DeriveImpliedSidePredicates(Rule):
+    """Inner join with a disjunctive residual filter (the TPC-H Q19 shape —
+    no reference analogue, the reference evaluates residuals row-at-a-time
+    post-probe, hash_join.rs:47): every OR clause's single-side conjuncts
+    imply a per-side prefilter OR(clause side parts), pushed onto that child
+    WITHOUT removing the residual. F = OR_i AND_j(c_ij) implies
+    OR_i AND(side conjuncts of clause i) whenever every clause has at least
+    one conjunct on that side, so rows failing the derived predicate can
+    never produce a surviving pair — the pair set shrinks before pair
+    materialization, and the executor folds the derived Filter into the
+    join as an alive-mask. Runs in a once-strategy batch (re-deriving on a
+    fix-point would wrap the child in the same Filter forever)."""
+
+    name = "DeriveImpliedSidePredicates"
+    pattern = Pattern(_is(LogicalJoin))
+
+    def apply(self, node):
+        join: LogicalJoin = node
+        if join.join_type != "inner" or join.filter is None:
+            return None
+        disjuncts = split_disjuncts(join.filter)
+        if len(disjuncts) < 2:
+            return None
+        changed = False
+        new_children = []
+        for child in join.children:
+            side_b = set(child.output_bindings())
+            parts: Optional[list[BoundExpr]] = []
+            for d in disjuncts:
+                side_cs = [
+                    c
+                    for c in split_conjuncts(d)
+                    if referenced_bindings([c]) <= side_b
+                ]
+                if not side_cs:
+                    parts = None  # a clause with no conjunct on this side
+                    break
+                parts.append(combine_conjuncts(side_cs))
+            if parts is None:
+                new_children.append(child)
+                continue
+            derived = (
+                parts[0]
+                if len(parts) == 1
+                else BoundConjunction("OR", tuple(parts))
+            )
+            # idempotence: _try_apply re-fires rules at the same position, so
+            # skip a side that already carries exactly the derived prefilter
+            if isinstance(child, LogicalFilter) and repr(child.predicate) == repr(
+                derived
+            ):
+                new_children.append(child)
+                continue
+            new_children.append(
+                LogicalFilter(children=[child], predicate=derived)
+            )
+            changed = True
+        if not changed:
+            return None
+        return LogicalJoin(
+            children=new_children,
+            join_type=join.join_type,
+            on=join.on,
+            filter=join.filter,
+        )
 
 
 # ---- limit pushdown --------------------------------------------------------------
@@ -459,6 +535,11 @@ def default_rule_batches():
             "Predicate pushdown",
             HepBatchStrategy.fix_point_topdown(10),
             [PushPredicateThroughNonJoin(), PushPredicateThroughJoin()],
+        ),
+        HepBatch(
+            "Implied predicate derivation",
+            HepBatchStrategy.once_topdown(),
+            [DeriveImpliedSidePredicates()],
         ),
         HepBatch(
             "Limit pushdown",

@@ -152,6 +152,45 @@ def test_combine_filters(db):
     assert len(filters) == 1
 
 
+# ---- implied side-predicate derivation ------------------------------------------
+
+
+def test_derive_implied_side_predicates(db):
+    # Q19 shape: disjunction of conjunctions where each clause has conjuncts
+    # on both sides -> each side gains an implied OR-prefilter; the residual
+    # stays on the join
+    p = plan_for(
+        db,
+        "select t1.a from t1 inner join t2 on t1.a = t2.a "
+        "where (t1.b = 1 and t2.b = 10) or (t1.b = 2 and t2.b = 20)",
+    )
+    join = find_ops(p, L.LogicalJoin)[0]
+    assert join.filter is not None
+    from sqlrs_tpu.binder.expression import BoundConjunction
+
+    for child in join.children:
+        f = find_ops(child, L.LogicalFilter)
+        assert len(f) == 1  # exactly one derived prefilter, no stacking
+        assert isinstance(f[0].predicate, BoundConjunction)
+        assert f[0].predicate.op == "OR"
+        assert len(f[0].predicate.args) == 2
+
+
+def test_no_derivation_when_clause_is_one_sided(db):
+    # one clause references only t1 -> nothing implied for t2's side; t1's
+    # side still gets a prefilter (both clauses have t1 conjuncts)
+    p = plan_for(
+        db,
+        "select t1.a from t1 inner join t2 on t1.a = t2.a "
+        "where (t1.b = 1 and t2.b = 10) or (t1.b = 2)",
+    )
+    join = find_ops(p, L.LogicalJoin)[0]
+    left_filters = find_ops(join.children[0], L.LogicalFilter)
+    right_filters = find_ops(join.children[1], L.LogicalFilter)
+    assert len(left_filters) == 1
+    assert len(right_filters) == 0
+
+
 # ---- simplify casts ----------------------------------------------------------------
 
 
