@@ -7,8 +7,11 @@ TPU-first:
 - Data plane: fixed-width columnar device batches (jax arrays + validity
   masks) instead of Arrow chunks; strings are dictionary-encoded int32 codes
   against an interning dictionary (host-resident, device ops on codes).
-- Operators: vectorized JAX/XLA programs; hash aggregate / hash join / radix
-  sort have Pallas kernel paths for the hot loops (see sqlrs_tpu/ops/).
+- Operators: vectorized JAX/XLA programs built on the sort primitive —
+  measured on TPU v5e, arbitrary per-element scatter/gather runs at
+  12-40M elem/s while XLA sort streams at 230-314M elem/s, so grouped
+  aggregate / join / order-by are all sort-run formulations (see
+  sqlrs_tpu/ops/ and CLAUDE.md for the measurements).
 - Distribution: tables hash-partitioned over a jax.sharding.Mesh; exchange =
   all-to-all collectives via shard_map (see sqlrs_tpu/parallel/).
 - Frontend (parser/binder/planner/HEP optimizer) is host Python — it is not

@@ -23,7 +23,13 @@ from sqlrs_tpu.ops import elementwise as ew
 from sqlrs_tpu.types import Interval, LogicalType, ScalarValue
 
 
-_FUSED_CACHE: dict = {}
+from collections import OrderedDict
+
+# LRU-bounded: keys include expr list, schema, row count, and string-dict
+# version, so long sessions with varying batch sizes would otherwise
+# accumulate compiled programs without limit.
+_FUSED_CACHE: OrderedDict = OrderedDict()
+_FUSED_CACHE_MAX = 512
 
 
 def execute_exprs_fused(exprs, batch: DeviceBatch) -> list[Column]:
@@ -60,6 +66,8 @@ def execute_exprs_fused(exprs, batch: DeviceBatch) -> list[Column]:
         len(GLOBAL_STRINGS),
     )
     entry = _FUSED_CACHE.get(sig)
+    if entry is not None:
+        _FUSED_CACHE.move_to_end(sig)
     if entry is False:  # known trace failure: permanent eager fallback
         return [execute_expr(e, batch) for e in exprs]
     if entry is None:
@@ -79,14 +87,22 @@ def execute_exprs_fused(exprs, batch: DeviceBatch) -> list[Column]:
 
         entry = (jax.jit(run), out_types)
         _FUSED_CACHE[sig] = entry
+        while len(_FUSED_CACHE) > _FUSED_CACHE_MAX:
+            _FUSED_CACHE.popitem(last=False)
     fn, out_types = entry
     try:
         od, ov = fn(
             tuple(c.data for c in batch.columns),
             tuple(c.valid for c in batch.columns),
         )
-    except Exception:
+    except jax.errors.JAXTypeError:
+        # trace-time concretization (host-side string work etc.): this
+        # signature can never fuse — pin the eager fallback
         _FUSED_CACHE[sig] = False
+        return [execute_expr(e, batch) for e in exprs]
+    except Exception:
+        # transient (OOM, interrupt, backend hiccup): fall back this once
+        # but leave the compiled program cached for the next call
         return [execute_expr(e, batch) for e in exprs]
     return [Column(t, d, v) for t, d, v in zip(out_types, od, ov)]
 

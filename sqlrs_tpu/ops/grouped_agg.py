@@ -36,28 +36,6 @@ from sqlrs_tpu.ops.sort import orderable_key
 from sqlrs_tpu.types import LogicalType, numpy_dtype_for
 
 
-def _seg_scan_best(values, payload, new_run, want_min: bool):
-    """Segmented prefix min/max with payload; returns per-position running
-    (best value, best payload) that resets at run starts."""
-    flags = new_run
-
-    def combine(a, b):
-        fa, va, pa = a
-        fb, vb, pb = b
-        if want_min:
-            b_wins = fb | (vb < va)
-        else:
-            b_wins = fb | (vb > va)
-        return (
-            jnp.logical_or(fa, fb),
-            jnp.where(b_wins, vb, va),
-            jnp.where(b_wins, pb, pa),
-        )
-
-    _, bv, bp = lax.associative_scan(combine, (flags, values, payload))
-    return bv, bp
-
-
 def sorted_grouped_aggregate(
     key_cols: list[Column],
     agg_specs: list[tuple[str, Optional[Column], LogicalType]],
@@ -239,6 +217,12 @@ def _agg_phase1(ops, num_keys: int, has_alive: bool = False):
         alive_s = out[num_keys + 1] > 0  # payloads: [rowidx, alive, ...]
         new_run = new_run & alive_s
     rid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    if has_alive:
+        # Dead rows sort to the tail but would otherwise inherit the LAST
+        # live run's rid, making phase 2's ends/last for that run point at a
+        # dead row (wrong key data/validity emitted). Mask them out of every
+        # run, mirroring partial_grouped_fixed's rid_eff.
+        rid = jnp.where(alive_s, rid, jnp.int32(np.iinfo(np.int32).max))
     n_runs = jnp.sum(new_run.astype(jnp.int32))
     return out, new_run, rid, n_runs
 

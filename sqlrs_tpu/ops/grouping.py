@@ -10,8 +10,12 @@ output order is first-appearance order, which the reference preserves via its
 insertion-ordered map (reference hash_agg.rs:85-111) and the slt suite
 depends on.
 
-The open-addressing Pallas hash-table variant (ops/hash_table.py) is the
-scale path for int keys; this is the general path.
+ops/hash_table.py holds a plain-XLA open-addressing hash table kept as a
+measured comparison baseline (scatter-bound, ~943K rows/s on v5e); the
+sort-run formulations here and in ops/grouped_agg.py are the production
+paths. Mosaic on this hardware generation cannot lower arbitrary
+per-element gathers in Pallas (see CLAUDE.md), so there is no Pallas
+hash-table path.
 """
 
 from __future__ import annotations

@@ -171,3 +171,31 @@ def test_filter_fused_into_aggregate_matches_compacted():
     assert got == exp
     got1 = db.run_lines("select sum(v), count(*) from t where v > 9000")
     assert got1 == ["NULL 0"]
+
+
+def test_fused_filter_last_group_key_not_from_dead_row():
+    """Regression: dead (filtered-out) rows sort to the tail but used to
+    inherit the last live run's rid, so that group's key was read from a
+    dead row. Needs a filtered-out key sorting after all surviving keys."""
+    import sqlrs_tpu
+    from sqlrs_tpu.types import LogicalType as LT
+
+    db = sqlrs_tpu.Database()
+    db.create_memory_table_numpy(
+        "t", [("k", LT.BIGINT), ("v", LT.BIGINT)],
+        [np.array([1, 2, 3]), np.array([1, 1, 0])],
+    )
+    got = db.run_lines("select k, sum(v) from t where v=1 group by k")
+    assert got == ["1 1", "2 1"]
+
+
+def test_fused_filter_dead_null_key_row():
+    """Regression: a filtered-out NULL-key row (sorts last) must not make
+    the last live group's key render NULL."""
+    import sqlrs_tpu
+
+    db = sqlrs_tpu.Database()
+    db.run("create table t(k int, v int)")
+    db.run("insert into t values (1,1),(null,0)")
+    got = db.run_lines("select k, count(v) from t where v=1 group by k")
+    assert got == ["1 1"]
