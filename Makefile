@@ -2,12 +2,15 @@
 
 PY ?= python
 
-.PHONY: check test slt bench run native planner_test clean
+.PHONY: check test test-full slt bench run native planner_test clean
 
-check: native test slt
+check: native test-full slt
 
 test:
 	$(PY) -m pytest tests/ -q
+
+test-full:
+	$(PY) -m pytest tests/ -q -m ""
 
 slt:
 	$(PY) -m tests.slt_runner

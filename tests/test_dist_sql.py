@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import sqlrs_tpu
 from sqlrs_tpu import Database
 

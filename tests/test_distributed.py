@@ -4,6 +4,8 @@ XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import sqlrs_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,8 @@ skew, duplicate join keys)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import sqlrs_tpu
 from sqlrs_tpu.data import DeviceBatch, Schema
 from sqlrs_tpu.types import LogicalType as LT
