@@ -39,7 +39,9 @@ from sqlrs_tpu.plan.logical import (
     LogicalAggregate,
     LogicalColumnDataScan,
     LogicalCreateTable,
+    LogicalCreateView,
     LogicalCrossJoin,
+    LogicalDrop,
     LogicalDummyScan,
     LogicalExplain,
     LogicalExpressionGet,
@@ -68,15 +70,67 @@ class _ExprState:
 
     ctx: BindContext
     alias_map: dict[str, ast.Expr] = field(default_factory=dict)
-    # scalar-subquery plans to cross-join into the FROM plan
-    subquery_plans: list[LogicalOperator] = field(default_factory=list)
+    # uncorrelated scalar-subquery plans to cross-join into the FROM plan,
+    # tagged with the clause they were bound in (select/where/group/having/
+    # order) — post-aggregate clauses join ABOVE the aggregate
+    subquery_plans: list[tuple[LogicalOperator, str]] = field(default_factory=list)
+    # correlated scalar subqueries: (sub_plan, on_pairs(left=inner,
+    # right=outer), phase) joined as RIGHT joins preserving outer row order
+    scalar_joins: list = field(default_factory=list)
+    # table indexes resolved through the parent (outer) context — marks
+    # this scope as a correlated subquery
+    outer_tables: set[int] = field(default_factory=set)
+    phase: str = "select"
     allow_aliases: bool = False
 
 
+@dataclass
+class CorrelationCapture:
+    """Out-params of binding a subquery that may reference the outer scope
+    (the decorrelation contract; no reference analogue — sqlrs binds only
+    FROM-alias and uncorrelated scalar subqueries, src/binder/table/
+    subquery.rs:84).
+
+    mode "scalar": equality correlations become injected GROUP BY keys,
+    appended to the subquery's output columns; `pairs` then maps
+    (outer expr, subquery output key ref) for a single-row-per-key join.
+    mode "predicate" (EXISTS / IN): correlations become semi/anti join
+    conditions; `pairs` holds equality conditions, `residuals` everything
+    else (resolved against the merged left++right join layout)."""
+
+    mode: str  # "scalar" | "predicate"
+    pairs: list[tuple[BoundExpr, BoundExpr]] = field(default_factory=list)
+    residuals: list[BoundExpr] = field(default_factory=list)
+    n_appended: int = 0  # output columns appended beyond the user's select list
+
+    def pairs_as_join_on(self):
+        """pairs are (outer, inner); a join with the SUBQUERY as the left
+        child wants (left=inner, right=outer)."""
+        return [(inner, outer) for outer, inner in self.pairs]
+
+
+@dataclass
+class _SubJoinSpec:
+    """A WHERE-level EXISTS / IN-subquery conjunct, lowered to a join."""
+
+    join_type: str  # semi | anti
+    plan: LogicalOperator
+    on: list[tuple[BoundExpr, BoundExpr]]
+    residual: Optional[BoundExpr]
+    null_aware: bool = False
+
+
 class Binder:
-    def __init__(self, db, counter: Optional[itertools.count] = None) -> None:
+    def __init__(
+        self,
+        db,
+        counter: Optional[itertools.count] = None,
+        ctes: Optional[dict] = None,
+    ) -> None:
         self.db = db
         self._counter = counter if counter is not None else itertools.count()
+        # name -> ast.CommonTableExpr, visible to this statement's scopes
+        self.ctes: dict = dict(ctes) if ctes else {}
 
     def next_index(self) -> int:
         return next(self._counter)
@@ -98,12 +152,48 @@ class Binder:
             return self.bind_show_tables()
         if isinstance(stmt, ast.DescribeStmt):
             return self.bind_describe(stmt)
+        if isinstance(stmt, ast.CreateViewStmt):
+            return self.bind_create_view(stmt)
+        if isinstance(stmt, ast.DropStmt):
+            return BoundStatement(
+                LogicalDrop(kind=stmt.kind, name=stmt.name, if_exists=stmt.if_exists),
+                [],
+                [],
+            )
         raise BinderError(f"unsupported statement {type(stmt).__name__}")
+
+    def bind_create_view(self, stmt: ast.CreateViewStmt) -> BoundStatement:
+        # validate now: the view body must bind, and a column list must match
+        # its width (errors surface at CREATE VIEW time, not first use)
+        sub = Binder(self.db, self._counter, ctes=self.ctes).bind_select(stmt.query)
+        if stmt.columns and len(stmt.columns) != len(sub.names):
+            raise BinderError(
+                f"view {stmt.name!r} column list has {len(stmt.columns)} names "
+                f"but the query returns {len(sub.names)} columns"
+            )
+        op = LogicalCreateView(
+            view_name=stmt.name,
+            column_names=list(stmt.columns),
+            query_ast=stmt.query,
+        )
+        return BoundStatement(op, [], [])
 
     # ---- SELECT -------------------------------------------------------------
 
-    def bind_select(self, stmt: ast.SelectStmt) -> BoundStatement:
-        ctx = BindContext()
+    def bind_select(
+        self,
+        stmt: ast.SelectStmt,
+        outer_ctx: Optional[BindContext] = None,
+        corr: Optional[CorrelationCapture] = None,
+    ) -> BoundStatement:
+        """With `outer_ctx`, unresolved columns fall back to the enclosing
+        scope (correlated subquery); `corr` captures the decorrelation
+        products (see CorrelationCapture)."""
+        if stmt.ctes:
+            self.ctes = dict(self.ctes)
+            for cte in stmt.ctes:
+                self.ctes[cte.name] = cte
+        ctx = BindContext(parent=outer_ctx)
         if stmt.from_table is not None:
             plan = self.bind_table_ref(stmt.from_table, ctx)
         else:
@@ -133,30 +223,70 @@ class Binder:
             if alias is not None and alias not in state.alias_map:
                 state.alias_map[alias] = item
 
+        state.phase = "select"
         select_exprs = [self.bind_expr(e, state) for e in select_items]
         out_names = [
             a if a is not None else e.name() for a, e in zip(aliases, select_exprs)
         ]
 
         state.allow_aliases = True
-        where_expr = self.bind_expr(stmt.where, state) if stmt.where else None
+        # ---- WHERE: EXISTS / IN-subquery conjuncts lower to semi/anti joins
+        state.phase = "where"
+        where_expr: Optional[BoundExpr] = None
+        sub_join_specs: list[_SubJoinSpec] = []
+        if stmt.where is not None:
+            conjs = _flatten_ast_and(stmt.where)
+            plain: list[ast.Expr] = []
+            for c_ast in conjs:
+                tgt, neg = _unwrap_ast_not(c_ast)
+                if isinstance(tgt, ast.Exists):
+                    sub_join_specs.append(
+                        self._bind_exists(tgt, neg ^ tgt.negated, state)
+                    )
+                elif isinstance(tgt, ast.InSubquery):
+                    sub_join_specs.append(
+                        self._bind_in_subquery(tgt, neg ^ tgt.negated, state)
+                    )
+                else:
+                    plain.append(c_ast)
+            if len(plain) == len(conjs):
+                where_expr = self.bind_expr(stmt.where, state)
+            elif plain:
+                bound = [_to_boolean(self.bind_expr(c, state)) for c in plain]
+                where_expr = bound[0] if len(bound) == 1 else BoundConjunction(
+                    "AND", tuple(bound)
+                )
+        state.phase = "group"
         group_exprs = [self.bind_expr(g, state) for g in stmt.group_by]
+        state.phase = "having"
         having_expr = self.bind_expr(stmt.having, state) if stmt.having else None
+        state.phase = "order"
         order_items = [
             (self.bind_expr(o.expr, state), o.asc) for o in stmt.order_by
         ]
 
-        # scalar subqueries become cross joins (reference
-        # src/binder/table/subquery.rs:120)
-        for sub_plan in state.subquery_plans:
-            plan = LogicalCrossJoin(children=[plan, sub_plan])
+        # ---- correlation split: this SELECT is itself a correlated subquery
+        corr_pairs: list[tuple[BoundExpr, BoundExpr]] = []
+        corr_residuals: list[BoundExpr] = []
+        if corr is not None and where_expr is not None and state.outer_tables:
+            local: list[BoundExpr] = []
+            for c in _flatten_and(where_expr):
+                if _expr_tables(c) & state.outer_tables:
+                    kind, a, b = _classify_correlated(c, state.outer_tables)
+                    if kind == "pair":
+                        corr_pairs.append((a, b))
+                    else:
+                        corr_residuals.append(c)
+                else:
+                    local.append(c)
+            if local:
+                where_expr = local[0] if len(local) == 1 else BoundConjunction(
+                    "AND", tuple(local)
+                )
+            else:
+                where_expr = None
 
-        if where_expr is not None:
-            if collect_aggregates(where_expr):
-                raise BinderError("aggregate functions are not allowed in WHERE")
-            plan = LogicalFilter(children=[plan], predicate=_to_boolean(where_expr))
-
-        # ---- aggregation ----------------------------------------------------
+        # ---- aggregate presence decides scalar-subquery join placement
         aggs: list[BoundAggregate] = []
         for e in select_exprs + [x for x, _ in order_items] + (
             [having_expr] if having_expr is not None else []
@@ -164,6 +294,68 @@ class Binder:
             for a in collect_aggregates(e):
                 if a not in aggs:
                     aggs.append(a)
+        agg_present = bool(aggs) or bool(group_exprs)
+
+        # scalar subqueries: uncorrelated become cross joins (reference
+        # src/binder/table/subquery.rs:120) — below the aggregate for
+        # WHERE/GROUP BY uses, above it for SELECT/HAVING/ORDER BY uses;
+        # correlated ones become order-preserving right joins on their
+        # injected group keys
+        post_agg_plans: list[LogicalOperator] = []
+        for sub_plan, phase in state.subquery_plans:
+            if agg_present and phase in ("select", "having", "order"):
+                post_agg_plans.append(sub_plan)
+            else:
+                plan = LogicalCrossJoin(children=[plan, sub_plan])
+        for sub_plan, on_pairs, phase in state.scalar_joins:
+            if agg_present and phase in ("select", "having", "order"):
+                raise BinderError(
+                    "correlated scalar subquery is only supported in WHERE/GROUP BY"
+                )
+            plan = LogicalJoin(
+                children=[sub_plan, plan],
+                join_type="right",
+                on=on_pairs,
+            )
+
+        if where_expr is not None:
+            if collect_aggregates(where_expr):
+                raise BinderError("aggregate functions are not allowed in WHERE")
+            plan = LogicalFilter(children=[plan], predicate=_to_boolean(where_expr))
+
+        # EXISTS / IN subquery joins apply after the row filter
+        for spec in sub_join_specs:
+            plan = LogicalJoin(
+                children=[plan, spec.plan],
+                join_type=spec.join_type,
+                on=spec.on,
+                filter=spec.residual,
+                null_aware=spec.null_aware,
+            )
+
+        # ---- correlated scalar: inject equality keys as GROUP BY columns
+        inject_positions: list[int] = []  # group position per corr pair
+        if corr is not None and corr.mode == "scalar" and (
+            corr_pairs or corr_residuals
+        ):
+            if corr_residuals:
+                raise BinderError(
+                    "correlated scalar subquery supports only equality correlation"
+                )
+            if not aggs:
+                raise BinderError(
+                    "correlated scalar subquery must compute an aggregate"
+                )
+            for _outer_e, inner_e in corr_pairs:
+                for gi, g in enumerate(group_exprs):
+                    if repr(g) == repr(inner_e):
+                        inject_positions.append(gi)
+                        break
+                else:
+                    inject_positions.append(len(group_exprs))
+                    group_exprs.append(inner_e)
+
+        # ---- aggregation ----------------------------------------------------
         if aggs or group_exprs:
             agg_index = self.next_index()
             agg_op = LogicalAggregate(
@@ -195,6 +387,19 @@ class Binder:
                 having_expr = _replace_subtrees(having_expr, mapping)
             for e in select_exprs + [x for x, _ in order_items]:
                 _check_all_resolved_to(e, agg_index, group_exprs, aggs)
+            # correlated scalar: expose the injected keys as output columns
+            if inject_positions:
+                for gi in inject_positions:
+                    g = group_exprs[gi]
+                    select_exprs.append(
+                        BoundColumnRef(
+                            ColumnBinding(agg_index, gi), g.return_type(), g.name()
+                        )
+                    )
+                    out_names.append(g.name())
+                    corr.n_appended += 1
+            for sub_plan in post_agg_plans:
+                plan = LogicalCrossJoin(children=[plan, sub_plan])
             if having_expr is not None:
                 plan = LogicalFilter(children=[plan], predicate=_to_boolean(having_expr))
 
@@ -219,6 +424,67 @@ class Binder:
             plan = LogicalOrder(children=[plan], items=order_items)
 
         proj_index = self.next_index()
+
+        # ---- predicate-mode correlation: export the inner columns that the
+        # outer semi/anti join conditions reference through this projection
+        if corr is not None and corr.mode == "predicate" and (
+            corr_pairs or corr_residuals
+        ):
+            if aggs or group_exprs or stmt.distinct:
+                raise BinderError(
+                    "correlated EXISTS/IN subquery with aggregation or DISTINCT "
+                    "is not supported"
+                )
+            export_pos: dict[str, int] = {}
+
+            def _ensure_exported(ref: BoundColumnRef) -> BoundColumnRef:
+                key = repr(ref)
+                if key not in export_pos:
+                    for i, se in enumerate(select_exprs):
+                        if repr(se) == key:
+                            export_pos[key] = i
+                            break
+                    else:
+                        export_pos[key] = len(select_exprs)
+                        select_exprs.append(ref)
+                        out_names.append(ref.column_name)
+                        corr.n_appended += 1
+                return BoundColumnRef(
+                    ColumnBinding(proj_index, export_pos[key]),
+                    ref.type,
+                    ref.column_name,
+                )
+
+            def _export_inner(e: BoundExpr) -> BoundExpr:
+                def f(x):
+                    if (
+                        isinstance(x, BoundColumnRef)
+                        and x.binding.table_index not in state.outer_tables
+                    ):
+                        return _ensure_exported(x)
+                    return None
+
+                from sqlrs_tpu.binder.expression import rewrite_expr
+
+                return rewrite_expr(e, f)
+
+            corr.pairs = [(o, _export_inner(i)) for o, i in corr_pairs]
+            corr.residuals = [_export_inner(r) for r in corr_residuals]
+        elif corr is not None and corr.mode == "scalar" and inject_positions:
+            # pair inner side = this projection's appended key columns
+            base = len(select_exprs) - len(inject_positions)
+            corr.pairs = [
+                (
+                    o,
+                    BoundColumnRef(
+                        ColumnBinding(proj_index, base + k),
+                        select_exprs[base + k].return_type(),
+                        out_names[base + k],
+                    ),
+                )
+                for k, (o, _i) in enumerate(corr_pairs)
+            ]
+
         plan = LogicalProjection(
             children=[plan], table_index=proj_index, exprs=select_exprs, names=out_names
         )
@@ -261,6 +527,23 @@ class Binder:
     def bind_base_table_ref(
         self, ref: ast.BaseTableRef, ctx: BindContext
     ) -> LogicalOperator:
+        if ref.args is None and not ref.named_args:
+            # CTEs shadow views shadow tables
+            cte = self.ctes.get(ref.name)
+            if cte is not None:
+                body_ctes = {k: v for k, v in self.ctes.items() if k != ref.name}
+                return self._bind_view_body(
+                    ref.alias or ref.name, cte.columns, cte.query, ctx, body_ctes
+                )
+            view = self.db.catalog.try_view(ref.name)
+            if view is not None:
+                return self._bind_view_body(
+                    ref.alias or ref.name,
+                    view.column_names,
+                    view.query,
+                    ctx,
+                    self.ctes,
+                )
         tidx = self.next_index()
         if ref.args is None and not ref.named_args:
             entry = self.db.catalog.try_table(ref.name)
@@ -294,13 +577,43 @@ class Binder:
             raise BinderError("table function arguments must be constants")
         return bound.value
 
+    def _bind_view_body(
+        self,
+        alias: str,
+        columns: list[str],
+        query: ast.SelectStmt,
+        ctx: BindContext,
+        ctes: dict,
+    ) -> LogicalOperator:
+        """Expand a view / CTE reference: re-bind its stored SELECT and wrap
+        it in a projection renamed to the declared column list."""
+        sub = Binder(self.db, self._counter, ctes=ctes).bind_select(query)
+        names = list(columns) if columns else list(sub.names)
+        if columns and len(columns) != len(sub.names):
+            raise BinderError(
+                f"view/CTE {alias!r} declares {len(columns)} columns but its "
+                f"query returns {len(sub.names)}"
+            )
+        tidx = self.next_index()
+        proj = LogicalProjection(
+            children=[sub.plan],
+            table_index=tidx,
+            exprs=[
+                BoundColumnRef(b, t, n)
+                for b, t, n in zip(sub.plan.output_bindings(), sub.types, names)
+            ],
+            names=names,
+        )
+        ctx.add(Binding(alias, tidx, names, list(sub.types)))
+        return proj
+
     def bind_subquery_ref(
         self, ref: ast.SubqueryRef, ctx: BindContext
     ) -> LogicalOperator:
         if ref.alias is None:
             # same behavior as Postgres (reference subquery.slt)
             raise BinderError("subquery in FROM must have an alias")
-        sub = Binder(self.db, self._counter).bind_select(ref.query)
+        sub = Binder(self.db, self._counter, ctes=self.ctes).bind_select(ref.query)
         tidx = self.next_index()
         proj = LogicalProjection(
             children=[sub.plan],
@@ -460,22 +773,46 @@ class Binder:
         return BoundCase(conditions, results, common)
 
     def _bind_ident(self, e: ast.Ident, state: _ExprState) -> BoundExpr:
+        """Resolution order: this scope → select-alias map → enclosing scopes
+        (correlated reference; the resolved table index is recorded in
+        state.outer_tables so the conjunct can be decorrelated)."""
         if len(e.parts) == 1:
             name = e.parts[0]
-            try:
-                b, ci = state.ctx.resolve_unqualified(name)
-            except BinderError:
+            hit = state.ctx.try_resolve_unqualified(name)  # raises on ambiguity
+            if hit is None:
                 # select-alias fallback for WHERE/GROUP BY/ORDER BY
                 target = state.alias_map.get(name)
                 if target is not None:
                     return self.bind_expr(target, state)
-                raise
+                c = state.ctx.parent
+                while c is not None and hit is None:
+                    hit = c.try_resolve_unqualified(name)
+                    c = c.parent
+                if hit is None:
+                    raise BinderError(f"column {name!r} not found")
+                state.outer_tables.add(hit[0].table_index)
+            b, ci = hit
             return BoundColumnRef(ColumnBinding(b.table_index, ci), b.types[ci], name)
         if len(e.parts) == 2:
-            b, ci = state.ctx.resolve_qualified(e.parts[0], e.parts[1])
-            return BoundColumnRef(
-                ColumnBinding(b.table_index, ci), b.types[ci], e.parts[1]
-            )
+            alias, col = e.parts
+            c = state.ctx
+            depth = 0
+            while c is not None:
+                b = c.try_get(alias)
+                if b is not None:
+                    ci = b.try_column(col)
+                    if ci is None:
+                        raise BinderError(
+                            f"column {col!r} not found in table {alias!r}"
+                        )
+                    if depth > 0:
+                        state.outer_tables.add(b.table_index)
+                    return BoundColumnRef(
+                        ColumnBinding(b.table_index, ci), b.types[ci], col
+                    )
+                c = c.parent
+                depth += 1
+            raise BinderError(f"table {alias!r} not found in FROM clause")
         raise BinderError(f"unsupported qualified name {'.'.join(e.parts)}")
 
     def _bind_unary(self, e: ast.UnaryOp, state: _ExprState) -> BoundExpr:
@@ -507,6 +844,13 @@ class Binder:
             return _bind_comparison(e.op, left, right)
         if e.op in ("+", "-", "*", "/", "%"):
             return _bind_arithmetic(e.op, left, right)
+        if e.op == "||":
+            for a in (left, right):
+                if a.return_type() not in (LogicalType.VARCHAR, LogicalType.SQLNULL):
+                    raise BinderError("|| requires varchar operands")
+            return BoundFunction(
+                "concat", "concat", (left, right), LogicalType.VARCHAR
+            )
         raise BinderError(f"unsupported binary operator {e.op}")
 
     def _bind_function(self, e: ast.FunctionCall, state: _ExprState) -> BoundExpr:
@@ -521,14 +865,41 @@ class Binder:
             arg = self.bind_expr(e.args[0], state)
             rt = aggregate_return_type(name, arg.return_type())
             return BoundAggregate(name, arg, e.distinct, rt)
+        if name == "substring":
+            if not 2 <= len(e.args) <= 3:
+                raise BinderError("substring takes 2 or 3 arguments")
+            args = tuple(self.bind_expr(a, state) for a in e.args)
+            if args[0].return_type() not in (
+                LogicalType.VARCHAR,
+                LogicalType.SQLNULL,
+            ):
+                raise BinderError("substring requires a varchar operand")
+            for a in args[1:]:
+                if not isinstance(a, BoundConstant):
+                    raise BinderError(
+                        "substring start/length must be constants"
+                    )
+            return BoundFunction(
+                "substring", "substring", args, LogicalType.VARCHAR
+            )
         raise BinderError(f"scalar function {name!r} does not exist")
 
     def _bind_scalar_subquery(
         self, e: ast.ScalarSubquery, state: _ExprState
     ) -> BoundExpr:
-        sub = Binder(self.db, self._counter).bind_select(e.query)
-        if len(sub.types) != 1:
+        corr = CorrelationCapture("scalar")
+        sub = Binder(self.db, self._counter, ctes=self.ctes).bind_select(
+            e.query, outer_ctx=state.ctx, corr=corr
+        )
+        if len(sub.types) - corr.n_appended != 1:
             raise BinderError("scalar subquery must return exactly one column")
+        if corr.pairs:
+            # correlated: RIGHT join (sub ⟕ outer) on the injected keys keeps
+            # the outer row order and yields NULL where the group is empty
+            # (SQL: scalar subquery over zero rows is NULL)
+            state.scalar_joins.append((sub.plan, list(corr.pairs_as_join_on()), state.phase))
+            b0 = sub.plan.output_bindings()[0]
+            return BoundColumnRef(b0, sub.types[0], sub.names[0])
         tidx = self.next_index()
         proj = LogicalProjection(
             children=[sub.plan],
@@ -536,8 +907,59 @@ class Binder:
             exprs=[BoundColumnRef(sub.plan.output_bindings()[0], sub.types[0], sub.names[0])],
             names=[sub.names[0]],
         )
-        state.subquery_plans.append(proj)
+        state.subquery_plans.append((proj, state.phase))
         return BoundColumnRef(ColumnBinding(tidx, 0), sub.types[0], sub.names[0])
+
+    def _bind_exists(
+        self, e: ast.Exists, negated: bool, state: _ExprState
+    ) -> _SubJoinSpec:
+        corr = CorrelationCapture("predicate")
+        sub = Binder(self.db, self._counter, ctes=self.ctes).bind_select(
+            e.query, outer_ctx=state.ctx, corr=corr
+        )
+        residual = None
+        if corr.residuals:
+            residual = (
+                corr.residuals[0]
+                if len(corr.residuals) == 1
+                else BoundConjunction("AND", tuple(corr.residuals))
+            )
+        if not corr.pairs and residual is not None:
+            raise BinderError(
+                "correlated EXISTS requires at least one equality correlation"
+            )
+        return _SubJoinSpec(
+            "anti" if negated else "semi", sub.plan, list(corr.pairs), residual
+        )
+
+    def _bind_in_subquery(
+        self, e: ast.InSubquery, negated: bool, state: _ExprState
+    ) -> _SubJoinSpec:
+        corr = CorrelationCapture("predicate")
+        sub = Binder(self.db, self._counter, ctes=self.ctes).bind_select(
+            e.query, outer_ctx=state.ctx, corr=corr
+        )
+        if len(sub.types) - corr.n_appended != 1:
+            raise BinderError("IN subquery must return exactly one column")
+        outer_e = self.bind_expr(e.expr, state)
+        inner0 = BoundColumnRef(
+            sub.plan.output_bindings()[0], sub.types[0], sub.names[0]
+        )
+        cmp = _bind_comparison("=", outer_e, inner0)
+        residual = None
+        if corr.residuals:
+            residual = (
+                corr.residuals[0]
+                if len(corr.residuals) == 1
+                else BoundConjunction("AND", tuple(corr.residuals))
+            )
+        return _SubJoinSpec(
+            "anti" if negated else "semi",
+            sub.plan,
+            [(cmp.left, cmp.right)] + list(corr.pairs),
+            residual,
+            null_aware=negated,
+        )
 
     # ---- DDL / DML --------------------------------------------------------------
 
@@ -770,6 +1192,45 @@ def _bind_arithmetic(op: str, left: BoundExpr, right: BoundExpr) -> BoundExpr:
     if kernel in ("+", "-", "*", "/", "%"):
         kernel = op  # numeric kernels dispatch on the operator symbol
     return BoundFunction(name, kernel, args, ov.return_type)
+
+
+def _flatten_ast_and(e: ast.Expr) -> list[ast.Expr]:
+    if isinstance(e, ast.BinaryOp) and e.op == "AND":
+        return _flatten_ast_and(e.left) + _flatten_ast_and(e.right)
+    if isinstance(e, ast.Parenthesized):
+        inner = _flatten_ast_and(e.expr)
+        if len(inner) > 1:
+            return inner
+    return [e]
+
+
+def _unwrap_ast_not(e: ast.Expr) -> tuple[ast.Expr, bool]:
+    """Strip Parenthesized / NOT layers; returns (core expr, negated)."""
+    neg = False
+    while True:
+        if isinstance(e, ast.Parenthesized):
+            e = e.expr
+        elif isinstance(e, ast.UnaryOp) and e.op == "NOT":
+            e = e.operand
+            neg = not neg
+        else:
+            return e, neg
+
+
+def _classify_correlated(
+    c: BoundExpr, outer_tables: set[int]
+) -> tuple[str, Optional[BoundExpr], Optional[BoundExpr]]:
+    """Correlated conjunct → ("pair", outer_side, inner_side) when it is an
+    equality with one pure-outer and one pure-inner side; else
+    ("residual", None, None) — kept as a join residual filter."""
+    if isinstance(c, BoundComparison) and c.op == "=":
+        lt, rt = _expr_tables(c.left), _expr_tables(c.right)
+        if lt and rt:
+            if lt <= outer_tables and not (rt & outer_tables):
+                return "pair", c.left, c.right
+            if rt <= outer_tables and not (lt & outer_tables):
+                return "pair", c.right, c.left
+    return "residual", None, None
 
 
 def _flatten_and(e: BoundExpr) -> list[BoundExpr]:

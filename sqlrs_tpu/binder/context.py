@@ -29,7 +29,15 @@ class Binding:
 
 @dataclass
 class BindContext:
+    """One SELECT scope's bindings. `parent` chains to the enclosing scope
+    for correlated subqueries (the reference v2 models this as the
+    ColumnRef depth field, src/planner_v2/binder/expression/
+    bind_column_ref_expression.rs:13); table indexes are globally unique
+    here, so resolution through the chain needs no depth bookkeeping — the
+    binder records which table indexes came from an outer scope."""
+
     bindings: list[Binding] = field(default_factory=list)
+    parent: "BindContext | None" = None
 
     def add(self, binding: Binding) -> None:
         if any(b.alias == binding.alias for b in self.bindings):
@@ -41,6 +49,26 @@ class BindContext:
             if b.alias == alias:
                 return b
         raise BinderError(f"table {alias!r} not found in FROM clause")
+
+    def try_get(self, alias: str) -> Binding | None:
+        for b in self.bindings:
+            if b.alias == alias:
+                return b
+        return None
+
+    def try_resolve_unqualified(self, column: str) -> tuple[Binding, int] | None:
+        """None when not found in THIS scope; raises on ambiguity (ambiguity
+        within a scope is an error even if an outer scope could resolve)."""
+        hits: list[tuple[Binding, int]] = []
+        for b in self.bindings:
+            ci = b.try_column(column)
+            if ci is not None:
+                hits.append((b, ci))
+        if not hits:
+            return None
+        if len(hits) > 1:
+            raise BinderError(f"ambiguous column name {column!r}")
+        return hits[0]
 
     def resolve_qualified(self, alias: str, column: str) -> tuple[Binding, int]:
         b = self.get(alias)

@@ -63,6 +63,19 @@ class SchemaCatalogEntry:
     table_functions: dict[str, Any] = field(default_factory=dict)
     scalar_functions: dict[str, Any] = field(default_factory=dict)
     aggregate_functions: dict[str, Any] = field(default_factory=dict)
+    views: dict[str, "ViewCatalogEntry"] = field(default_factory=dict)
+
+
+@dataclass
+class ViewCatalogEntry:
+    """A named stored SELECT (CREATE VIEW ... AS). Views are pure catalog
+    metadata: the query AST is re-bound at every use site, so they always
+    reflect current table contents (the TPC-H Q15 revenue view shape)."""
+
+    oid: int
+    name: str
+    column_names: list[str]  # empty => the query's own output names
+    query: Any  # ast.SelectStmt
 
 
 class Catalog:
@@ -133,6 +146,30 @@ class Catalog:
             return self.table(name, schema)
         except CatalogError:
             return None
+
+    # ---- views -------------------------------------------------------------
+
+    def create_view(self, name, column_names, query, schema: str = DEFAULT_SCHEMA):
+        s = self.schema(schema)
+        if name in s.tables or name in s.views:
+            raise CatalogError(f"table or view {name!r} already exists")
+        entry = ViewCatalogEntry(self._oid(), name, list(column_names), query)
+        s.views[name] = entry
+        self.version += 1
+        return entry
+
+    def try_view(self, name: str, schema: str = DEFAULT_SCHEMA):
+        try:
+            return self.schema(schema).views.get(name)
+        except CatalogError:
+            return None
+
+    def drop_view(self, name: str, schema: str = DEFAULT_SCHEMA) -> None:
+        s = self.schema(schema)
+        if name not in s.views:
+            raise CatalogError(f"view {name!r} does not exist")
+        del s.views[name]
+        self.version += 1
 
     # ---- functions ---------------------------------------------------------
 

@@ -319,7 +319,65 @@ class Executor:
 
     # ---- joins ----------------------------------------------------------------
 
+    def _exec_semi_anti_join(self, op: P.PhysicalHashJoin) -> DeviceBatch:
+        """Semi/anti join (decorrelated EXISTS / IN-subquery): emit LEFT rows
+        that have (semi) / lack (anti) a surviving match, preserving left
+        order. null_aware anti = NOT IN semantics: any NULL inner value ⇒
+        empty result; NULL probe values never pass (SQL three-valued logic)."""
+        left = self.execute(op.children[0])
+        right = self.execute(op.children[1])
+        out_schema = _schema(op)
+        if left.num_rows == 0:
+            return DeviceBatch(out_schema, left.columns, 0)
+        if right.num_rows == 0:
+            # x NOT IN (empty) / NOT EXISTS(empty) keeps every left row —
+            # even NULL probe values (SQL: NOT IN over an empty set is true)
+            if op.join_type == "anti":
+                return DeviceBatch(out_schema, left.columns, left.num_rows)
+            return left.slice(0, 0)
+        if not op.on:
+            raise ExecutorError(
+                "semi/anti join requires at least one equi condition"
+            )
+        left_keys = execute_exprs_fused([l for l, _ in op.on], left)
+        right_keys = execute_exprs_fused([r for _, r in op.on], right)
+        if op.null_aware and op.join_type == "anti":
+            # NOT IN: any NULL on the inner side ⇒ no row can be proven
+            # absent ⇒ empty result (the reference has no NOT IN; semantics
+            # per SQL spec / DuckDB behavior)
+            any_null = False
+            for c in right_keys:
+                any_null = any_null or bool(jnp.any(jnp.logical_not(c.valid)))
+            if any_null:
+                return left.slice(0, 0)
+        l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
+        if op.filter is not None and len(l_idx):
+            pairs = _merge_rows_schema(
+                _concat_schema(left, right), left, right, l_idx, r_idx
+            )
+            keep = execute_expr(op.filter, pairs)
+            sel = ew.selection_to_indices(keep)
+            l_idx = jnp.asarray(l_idx)[sel]
+        nl = left.num_rows
+        matched = (
+            jnp.zeros((nl,), jnp.bool_).at[jnp.asarray(l_idx)].set(True)
+            if len(l_idx)
+            else jnp.zeros((nl,), jnp.bool_)
+        )
+        keep_mask = matched if op.join_type == "semi" else jnp.logical_not(matched)
+        if op.null_aware and op.join_type == "anti":
+            # NULL probe values never pass NOT IN when the inner side is
+            # non-empty
+            for c in left_keys:
+                keep_mask = keep_mask & c.valid
+        keep_col = Column(LogicalType.BOOLEAN, keep_mask, jnp.ones(nl, jnp.bool_))
+        idx = ew.selection_to_indices(keep_col)
+        out = left.take(idx)
+        return DeviceBatch(out_schema, out.columns, out.num_rows)
+
     def _exec_HashJoin(self, op: P.PhysicalHashJoin) -> DeviceBatch:
+        if op.join_type in ("semi", "anti"):
+            return self._exec_semi_anti_join(op)
         # INNER joins fuse Filter children as alive-masks folded into the
         # join-key validity: masked rows simply never produce pairs, skipping
         # the compaction entirely (pair emission order is unchanged — probe
@@ -413,6 +471,25 @@ class Executor:
         )
         return _empty_result()
 
+    def _exec_CreateView(self, op: P.PhysicalCreateView) -> DeviceBatch:
+        self.db.catalog.create_view(
+            op.view_name, op.column_names, op.query_ast, schema=op.schema_name
+        )
+        return _empty_result()
+
+    def _exec_Drop(self, op: P.PhysicalDrop) -> DeviceBatch:
+        from sqlrs_tpu.errors import CatalogError
+
+        try:
+            if op.kind == "view":
+                self.db.catalog.drop_view(op.name, schema=op.schema_name)
+            else:
+                self.db.catalog.drop_table(op.name, schema=op.schema_name)
+        except CatalogError:
+            if not op.if_exists:
+                raise
+        return _empty_result()
+
     def _exec_Explain(self, op: P.PhysicalExplain) -> DeviceBatch:
         from sqlrs_tpu.types import ScalarValue
 
@@ -446,6 +523,24 @@ def _gather_pairs_jit(l_datas, l_valids, r_datas, r_valids, li, ri, l_live):
     if l_live is not None:
         lv = tuple(v & l_live for v in lv)
     return ld, lv, tuple(a[ri] for a in r_datas), tuple(a[ri] for a in r_valids)
+
+
+def _concat_schema(left: DeviceBatch, right: DeviceBatch) -> Schema:
+    return Schema(tuple(left.schema.fields) + tuple(right.schema.fields))
+
+
+def _merge_rows_schema(schema, left, right, l_idx, r_idx) -> DeviceBatch:
+    """_merge_rows against an explicit output schema (used where the
+    operator's own schema is not left++right, e.g. semi/anti residual
+    evaluation)."""
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.names = [f.name for f in schema.fields]
+    shim.types = [f.type for f in schema.fields]
+    return _merge_rows(shim, left, right, l_idx, r_idx)
 
 
 def _gather_pairs(op, left, right, li, ri, l_live=None) -> DeviceBatch:

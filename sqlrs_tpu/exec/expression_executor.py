@@ -161,6 +161,17 @@ def _execute_function(expr: BoundFunction, batch: DeviceBatch) -> Column:
     if expr.op.startswith("extract_"):
         col = execute_expr(expr.args[0], batch)
         return ew.extract_date_field(col, expr.op.removeprefix("extract_"))
+    if expr.op == "substring":
+        col = execute_expr(expr.args[0], batch)
+        start = int(expr.args[1].value.value)
+        length = (
+            int(expr.args[2].value.value) if len(expr.args) > 2 else None
+        )
+        return ew.substring_column(col, start, length)
+    if expr.op == "concat":
+        left = execute_expr(expr.args[0], batch)
+        right = execute_expr(expr.args[1], batch)
+        return ew.concat_columns(left, right)
     raise ExecutorError(f"unknown function kernel {expr.op}")
 
 

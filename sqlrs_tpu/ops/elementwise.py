@@ -274,6 +274,64 @@ def like_match(col: Column, pattern: str, negated: bool = False) -> Column:
     return Column(LogicalType.BOOLEAN, table[codes], col.valid)
 
 
+def _code_map_column(col: Column, fn) -> Column:
+    """Apply a string→string function as a code→code dictionary mapping:
+    host work is O(D) over the distinct strings (interning any new results),
+    then ONE device gather maps the column. The same shape as LIKE — row
+    count never touches the host."""
+    from sqlrs_tpu.data.strings import GLOBAL_STRINGS, NULL_CODE
+
+    d = GLOBAL_STRINGS
+    n_before = len(d)
+    table = np.empty(max(n_before, 1), np.int32)
+    for i in range(n_before):
+        table[i] = d.intern(fn(d.lookup(i)))
+    if n_before == 0:
+        return Column(
+            LogicalType.VARCHAR,
+            jnp.full(len(col), NULL_CODE, jnp.int32),
+            col.valid,
+        )
+    jt = jnp.asarray(table[:n_before])
+    codes = jnp.clip(col.data, 0, n_before - 1)
+    return Column(LogicalType.VARCHAR, jt[codes], col.valid)
+
+
+def substring_column(col: Column, start: int, length=None) -> Column:
+    """SQL substring (1-based start; negative/zero start clamps like
+    Postgres' FROM clause on positive lengths is not fully modeled — TPC-H
+    uses positive constants only)."""
+    s0 = max(start - 1, 0)
+    if length is None:
+        return _code_map_column(col, lambda s: s[s0:])
+    end = s0 + max(int(length), 0)
+    return _code_map_column(col, lambda s: s[s0:end])
+
+
+def concat_columns(left: Column, right: Column) -> Column:
+    """VARCHAR || VARCHAR. Distinct (l,r) code pairs are mapped on host —
+    O(distinct pairs); fine for dimension-sized columns, not for fact-table
+    cartesian variety."""
+    from sqlrs_tpu.data.strings import GLOBAL_STRINGS, NULL_CODE
+
+    d = GLOBAL_STRINGS
+    lc = np.asarray(left.data)
+    rc = np.asarray(right.data)
+    valid = np.asarray(left.valid) & np.asarray(right.valid)
+    pairs = {}
+    out = np.full(len(lc), NULL_CODE, np.int32)
+    for i in np.nonzero(valid)[0]:
+        key = (int(lc[i]), int(rc[i]))
+        code = pairs.get(key)
+        if code is None:
+            code = d.intern(d.lookup(key[0]) + d.lookup(key[1]))
+            pairs[key] = code
+        out[i] = code
+    return Column(
+        LogicalType.VARCHAR, jnp.asarray(out), jnp.asarray(valid)
+    )
+
+
 # ---- EXTRACT -------------------------------------------------------------------
 
 

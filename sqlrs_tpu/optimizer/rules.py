@@ -25,6 +25,7 @@ from typing import Optional
 from sqlrs_tpu.binder.expression import (
     BoundCast,
     BoundColumnRef,
+    BoundComparison,
     BoundConjunction,
     BoundConstant,
     BoundExpr,
@@ -145,7 +146,7 @@ class PushPredicateThroughJoin(Rule):
 
     def apply(self, node):
         join: LogicalJoin = node.children[0]
-        if join.join_type not in ("inner", "left", "right"):
+        if join.join_type not in ("inner", "left", "right", "semi", "anti"):
             return None
         left, right = join.children
         left_b = set(left.output_bindings())
@@ -170,7 +171,9 @@ class PushPredicateThroughJoin(Rule):
                 ),
             )
             return new_join
-        if join.join_type == "left":
+        if join.join_type in ("left", "semi", "anti"):
+            # semi/anti emit left rows only: conjuncts above can only
+            # reference the left side, and pushing them below is safe
             if not left_f:
                 return None
             new_join = LogicalJoin(
@@ -178,6 +181,7 @@ class PushPredicateThroughJoin(Rule):
                 join_type=join.join_type,
                 on=join.on,
                 filter=join.filter,
+                null_aware=join.null_aware,
             )
             return _filter_over(right_f + common, new_join)
         # right join
@@ -188,8 +192,74 @@ class PushPredicateThroughJoin(Rule):
             join_type=join.join_type,
             on=join.on,
             filter=join.filter,
+            null_aware=join.null_aware,
         )
         return _filter_over(left_f + common, new_join)
+
+
+class PushPredicateThroughCrossJoin(Rule):
+    """Filter(CrossJoin) → per-side pushdown + equality conjuncts linking
+    both sides become an INNER equi-join (the comma-FROM TPC-H shape:
+    `from a, b where a.x = b.x`). No reference analogue — the reference
+    leaves comma joins as filtered cross products; at SF1 scale the
+    cartesian intermediate is impossible, so the conversion is load-bearing.
+
+    The converted join SWAPS the children: our hash join emits pairs in
+    (probe=right row, build insertion) order, so with children (r, l) the
+    emission is left-major — bit-identical to the cross product's
+    row order (reference src/executor/join/cross_join.rs:25) under the
+    surviving filter."""
+
+    name = "PushPredicateThroughCrossJoin"
+    pattern = Pattern(_is(LogicalFilter), [Pattern(_is(LogicalCrossJoin))])
+
+    def apply(self, node):
+        cj: LogicalCrossJoin = node.children[0]
+        left, right = cj.children
+        left_b = set(left.output_bindings())
+        right_b = set(right.output_bindings())
+        conjuncts = split_conjuncts(node.predicate)
+        left_f, right_f, on_pairs, rest = [], [], [], []
+        for c in conjuncts:
+            refs = referenced_bindings([c])
+            if refs and refs <= left_b:
+                left_f.append(c)
+            elif refs and refs <= right_b:
+                right_f.append(c)
+            elif (
+                isinstance(c, BoundComparison)
+                and c.op == "="
+                and referenced_bindings([c.left])
+                and referenced_bindings([c.right])
+            ):
+                lt = referenced_bindings([c.left])
+                rt = referenced_bindings([c.right])
+                if lt <= left_b and rt <= right_b:
+                    on_pairs.append((c.left, c.right))
+                elif lt <= right_b and rt <= left_b:
+                    on_pairs.append((c.right, c.left))
+                else:
+                    rest.append(c)
+            else:
+                rest.append(c)
+        if not on_pairs and not left_f and not right_f:
+            return None
+        new_left = _filter_over(left_f, left)
+        new_right = _filter_over(right_f, right)
+        if on_pairs:
+            # children swapped: probe order = original left-major order
+            join = LogicalJoin(
+                children=[new_right, new_left],
+                join_type="inner",
+                on=[(r, l) for l, r in on_pairs],
+                filter=None,
+            )
+            return _filter_over(rest, join)
+        if not left_f and not right_f:
+            return None
+        return _filter_over(
+            rest, LogicalCrossJoin(children=[new_left, new_right])
+        )
 
 
 class DeriveImpliedSidePredicates(Rule):
@@ -256,6 +326,7 @@ class DeriveImpliedSidePredicates(Rule):
             join_type=join.join_type,
             on=join.on,
             filter=join.filter,
+            null_aware=join.null_aware,
         )
 
 
@@ -308,6 +379,7 @@ class PushLimitThroughJoin(Rule):
             join_type=join.join_type,
             on=join.on,
             filter=join.filter,
+            null_aware=join.null_aware,
         )
         return LogicalLimit(children=[new_join], limit=node.limit, offset=node.offset)
 
@@ -466,6 +538,12 @@ class CollapseProject(Rule):
 
     def apply(self, node: LogicalProjection):
         inner: LogicalProjection = node.children[0]
+        if node.passthrough and not inner.passthrough:
+            # a pass-through projection's OUTPUT bindings are its exprs'
+            # bindings; substituting through a renaming projection would
+            # change them and orphan every ancestor reference (visible with
+            # semi/anti join keys pointing at subquery projections)
+            return None
         mapping = {b: e for b, e in zip(inner.output_bindings(), inner.exprs)}
         new_exprs = [substitute_bindings(e, mapping) for e in node.exprs]
         return LogicalProjection(
@@ -534,7 +612,11 @@ def default_rule_batches():
         HepBatch(
             "Predicate pushdown",
             HepBatchStrategy.fix_point_topdown(10),
-            [PushPredicateThroughNonJoin(), PushPredicateThroughJoin()],
+            [
+                PushPredicateThroughNonJoin(),
+                PushPredicateThroughJoin(),
+                PushPredicateThroughCrossJoin(),
+            ],
         ),
         HepBatch(
             "Implied predicate derivation",

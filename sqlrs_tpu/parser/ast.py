@@ -127,6 +127,25 @@ class ScalarSubquery(Expr):
 
 
 @dataclass
+class Exists(Expr):
+    """[NOT] EXISTS (SELECT ...) — bound as a semi/anti join when it appears
+    as a top-level WHERE conjunct."""
+
+    query: "SelectStmt" = None
+    negated: bool = False
+
+
+@dataclass
+class InSubquery(Expr):
+    """x [NOT] IN (SELECT ...) — bound as a semi/anti join (NOT IN is
+    null-aware per SQL three-valued semantics)."""
+
+    expr: Expr = None
+    query: "SelectStmt" = None
+    negated: bool = False
+
+
+@dataclass
 class Parenthesized(Expr):
     expr: Expr
 
@@ -175,6 +194,13 @@ class OrderByItem:
 
 
 @dataclass
+class CommonTableExpr:
+    name: str
+    columns: list[str]  # empty => subquery's own names
+    query: "SelectStmt" = None
+
+
+@dataclass
 class SelectStmt(Statement):
     select_list: list[Expr] = field(default_factory=list)
     from_table: Optional[TableRef] = None
@@ -186,6 +212,7 @@ class SelectStmt(Statement):
     offset: Optional[Expr] = None
     distinct: bool = False
     aliases: list[Optional[str]] = field(default_factory=list)  # per select item
+    ctes: list[CommonTableExpr] = field(default_factory=list)  # WITH ... AS (...)
 
 
 @dataclass
@@ -229,3 +256,20 @@ class ShowTablesStmt(Statement):
 @dataclass
 class DescribeStmt(Statement):
     table: str
+
+
+@dataclass
+class CreateViewStmt(Statement):
+    """CREATE VIEW name [(cols)] AS SELECT ... (the TPC-H Q15 shape,
+    reference tpch qgen: create view revenue0 as ...)."""
+
+    name: str
+    columns: list[str] = field(default_factory=list)
+    query: SelectStmt = None
+
+
+@dataclass
+class DropStmt(Statement):
+    kind: str  # "view" | "table"
+    name: str = ""
+    if_exists: bool = False

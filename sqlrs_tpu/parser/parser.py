@@ -117,8 +117,12 @@ class _Parser:
     def parse_statement(self) -> ast.Statement:
         if self.peek_kw("SELECT"):
             return self.parse_select()
+        if self.peek_kw("WITH"):
+            return self.parse_with()
         if self.peek_kw("CREATE"):
             return self.parse_create()
+        if self.peek_kw("DROP"):
+            return self.parse_drop()
         if self.peek_kw("INSERT"):
             return self.parse_insert()
         if self.peek_kw("COPY"):
@@ -187,8 +191,57 @@ class _Parser:
                 stmt.offset = e
         return stmt
 
-    def parse_create(self) -> ast.CreateTableStmt:
+    def parse_with(self) -> ast.SelectStmt:
+        """WITH name [(cols)] AS ( select ) [, ...] SELECT ..."""
+        self.expect_kw("WITH")
+        ctes: list[ast.CommonTableExpr] = []
+        while True:
+            name = self.expect_ident()
+            cols: list[str] = []
+            if self.eat_punct("("):
+                while True:
+                    cols.append(self.expect_ident())
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+            self.expect_kw("AS")
+            self.expect_punct("(")
+            q = self.parse_select()
+            self.expect_punct(")")
+            ctes.append(ast.CommonTableExpr(name, cols, q))
+            if not self.eat_punct(","):
+                break
+        stmt = self.parse_select()
+        stmt.ctes = ctes
+        return stmt
+
+    def parse_drop(self) -> ast.DropStmt:
+        self.expect_kw("DROP")
+        if self.eat_kw("VIEW"):
+            kind = "view"
+        else:
+            self.expect_kw("TABLE")
+            kind = "table"
+        if_exists = False
+        if self.eat_kw("IF"):
+            # IF EXISTS
+            self.expect_kw("EXISTS")
+            if_exists = True
+        return ast.DropStmt(kind, self.expect_ident(), if_exists)
+
+    def parse_create(self) -> ast.Statement:
         self.expect_kw("CREATE")
+        if self.eat_kw("VIEW"):
+            name = self.expect_ident()
+            cols: list[str] = []
+            if self.eat_punct("("):
+                while True:
+                    cols.append(self.expect_ident())
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+            self.expect_kw("AS")
+            return ast.CreateViewStmt(name, cols, self.parse_select())
         self.expect_kw("TABLE")
         name = self.expect_ident()
         if self.eat_kw("AS"):
@@ -398,6 +451,15 @@ class _Parser:
                     for _ in range(ahead + 1):
                         self.advance()
                     self.expect_punct("(")
+                    if self.peek_kw("SELECT", "WITH"):
+                        q = (
+                            self.parse_with()
+                            if self.peek_kw("WITH")
+                            else self.parse_select()
+                        )
+                        self.expect_punct(")")
+                        left = ast.InSubquery(left, q, negated)
+                        continue
                     vals = [self.parse_expr()]
                     while self.eat_punct(","):
                         vals.append(self.parse_expr())
@@ -435,6 +497,8 @@ class _Parser:
         if t.kind == "OP":
             if t.value in _CMP_OPS:
                 return _PREC_CMP, t.value
+            if t.value == "||":
+                return _PREC_ADD, "||"
             if t.value in _ADD_OPS:
                 return _PREC_ADD, t.value
             if t.value in _MUL_OPS:
@@ -462,7 +526,32 @@ class _Parser:
             return ast.Literal("null", None)
         if t.is_kw("NOT"):
             self.advance()
+            if self.peek_kw("EXISTS"):
+                e = self.parse_prefix()  # Exists node
+                e.negated = True
+                return e
             return ast.UnaryOp("NOT", self.parse_expr(_PREC_NOT))
+        if t.is_kw("EXISTS"):
+            self.advance()
+            self.expect_punct("(")
+            q = self.parse_select()
+            self.expect_punct(")")
+            return ast.Exists(q, False)
+        if t.is_kw("SUBSTRING"):
+            # substring(x FROM a [FOR b]) and substring(x, a[, b])
+            self.advance()
+            self.expect_punct("(")
+            x = self.parse_expr()
+            args = [x]
+            if self.eat_kw("FROM"):
+                args.append(self.parse_expr())
+                if self.eat_kw("FOR"):
+                    args.append(self.parse_expr())
+            else:
+                while self.eat_punct(","):
+                    args.append(self.parse_expr())
+            self.expect_punct(")")
+            return ast.FunctionCall("substring", args)
         if t.is_kw("DATE"):
             # DATE '1998-12-01'
             if self.peek(1).kind == "STRING":

@@ -19,7 +19,8 @@ KEYWORDS = {
     "SHOW", "TABLES", "DESCRIBE", "DESC_TABLE", "CAST", "DATE", "INTERVAL",
     "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "UNSIGNED",
     "DELIMITER", "HEADER", "IS", "IN", "EXISTS", "BETWEEN", "LIKE", "CASE",
-    "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "EXTRACT",
+    "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "EXTRACT", "WITH", "VIEW",
+    "DROP", "SUBSTRING", "FOR", "IF",
 }
 
 MULTI_OPS = ["<>", "!=", ">=", "<=", "=>", "||"]

@@ -213,26 +213,39 @@ class LogicalAggregate(LogicalOperator):
         )
 
 
-JOIN_TYPES = ("inner", "left", "right", "full", "cross")
+JOIN_TYPES = ("inner", "left", "right", "full", "cross", "semi", "anti")
 
 
 @dataclass
 class LogicalJoin(LogicalOperator):
     """Equi-join with residual filter. `on` holds extracted equi-key pairs
     and `filter` the residual non-equi condition, datafusion-style
-    (reference src/binder/table/join.rs:40,161 JoinCondition::On{on,filter})."""
+    (reference src/binder/table/join.rs:40,161 JoinCondition::On{on,filter}).
+
+    semi/anti are the decorrelated EXISTS / IN-subquery forms (no reference
+    analogue — the reference binds only FROM-alias and scalar subqueries,
+    src/binder/table/subquery.rs:84): they emit LEFT rows only, preserving
+    left order. `null_aware` anti implements NOT IN three-valued semantics
+    (any NULL on the right ⇒ empty result; NULL probe values never pass)."""
 
     join_type: str = "inner"
     on: list[tuple[BoundExpr, BoundExpr]] = field(default_factory=list)
     filter: Optional[BoundExpr] = None
+    null_aware: bool = False
 
     def output_bindings(self):
+        if self.join_type in ("semi", "anti"):
+            return self.children[0].output_bindings()
         return self.children[0].output_bindings() + self.children[1].output_bindings()
 
     def output_types(self):
+        if self.join_type in ("semi", "anti"):
+            return self.children[0].output_types()
         return self.children[0].output_types() + self.children[1].output_types()
 
     def output_names(self):
+        if self.join_type in ("semi", "anti"):
+            return self.children[0].output_names()
         return self.children[0].output_names() + self.children[1].output_names()
 
     def expressions(self):
@@ -322,6 +335,40 @@ class LogicalInsert(LogicalOperator):
     # reorder exprs (reference src/execution/volcano_executor/insert.rs:22-98)
     expected_types: list[LogicalType] = field(default_factory=list)
     column_index_map: list[Optional[int]] = field(default_factory=list)
+
+    def output_bindings(self):
+        return []
+
+    def output_types(self):
+        return []
+
+    def output_names(self):
+        return []
+
+
+@dataclass
+class LogicalCreateView(LogicalOperator):
+    view_name: str = ""
+    schema_name: str = "main"
+    column_names: list[str] = field(default_factory=list)
+    query_ast: Any = None  # ast.SelectStmt, re-bound at each use site
+
+    def output_bindings(self):
+        return []
+
+    def output_types(self):
+        return []
+
+    def output_names(self):
+        return []
+
+
+@dataclass
+class LogicalDrop(LogicalOperator):
+    kind: str = "table"  # "table" | "view"
+    name: str = ""
+    schema_name: str = "main"
+    if_exists: bool = False
 
     def output_bindings(self):
         return []

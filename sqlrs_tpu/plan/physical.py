@@ -123,6 +123,7 @@ class PhysicalHashJoin(PhysicalOperator):
     left_width: int = 0
     left_types: list[LogicalType] = field(default_factory=list)
     right_types: list[LogicalType] = field(default_factory=list)
+    null_aware: bool = False  # anti: NOT IN three-valued semantics
 
     def explain_line(self):
         s = f"HashJoin({self.join_type}, on: {[(l.name(), r.name()) for l, r in self.on]}"
@@ -154,6 +155,22 @@ class PhysicalInsert(PhysicalOperator):
 @dataclass
 class PhysicalExplain(PhysicalOperator):
     plan_strings: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class PhysicalCreateView(PhysicalOperator):
+    schema_name: str = "main"
+    view_name: str = ""
+    column_names: list[str] = field(default_factory=list)
+    query_ast: Any = None
+
+
+@dataclass
+class PhysicalDrop(PhysicalOperator):
+    kind: str = "table"
+    name: str = ""
+    schema_name: str = "main"
+    if_exists: bool = False
 
 
 def explain_tree(op: PhysicalOperator, indent: int = 0) -> str:
@@ -251,6 +268,7 @@ class PhysicalPlanGenerator:
                 left_width=len(op.children[0].output_types()),
                 left_types=op.children[0].output_types(),
                 right_types=op.children[1].output_types(),
+                null_aware=op.null_aware,
             )
         if isinstance(op, L.LogicalCrossJoin):
             return PhysicalCrossJoin(
@@ -273,6 +291,22 @@ class PhysicalPlanGenerator:
                 table_name=op.table_name,
                 expected_types=op.expected_types,
                 column_index_map=op.column_index_map,
+            )
+        if isinstance(op, L.LogicalCreateView):
+            return PhysicalCreateView(
+                children=kids,
+                schema_name=op.schema_name,
+                view_name=op.view_name,
+                column_names=op.column_names,
+                query_ast=op.query_ast,
+            )
+        if isinstance(op, L.LogicalDrop):
+            return PhysicalDrop(
+                children=kids,
+                kind=op.kind,
+                name=op.name,
+                schema_name=op.schema_name,
+                if_exists=op.if_exists,
             )
         if isinstance(op, L.LogicalExplain):
             return PhysicalExplain(

@@ -1,0 +1,194 @@
+"""Subquery SQL surface: EXISTS / NOT EXISTS / IN / NOT IN (null-aware),
+correlated scalar subqueries (decorrelated to grouped right joins), views,
+CTEs, substring/concat — the TPC-H Q2/Q4/Q15/Q16/Q17/Q18/Q20/Q21/Q22 shapes.
+
+The reference binds only FROM-alias and uncorrelated scalar subqueries
+(reference src/binder/table/subquery.rs:84-140); this surface extends it.
+"""
+
+import numpy as np
+import pytest
+
+import sqlrs_tpu
+
+
+@pytest.fixture()
+def db():
+    d = sqlrs_tpu.Database()
+    d.run("create table o(okey int, ckey int, prio varchar)")
+    d.run("insert into o values (1,1,'HI'),(2,1,'LO'),(3,2,'HI'),(4,3,'LO')")
+    d.run("create table l(okey int, qty int)")
+    d.run("insert into l values (1,5),(1,7),(2,1),(4,9)")
+    return d
+
+
+def test_exists_correlated(db):
+    got = db.run_lines(
+        "select okey from o where exists "
+        "(select * from l where l.okey = o.okey and l.qty > 4)"
+    )
+    assert got == ["1", "4"]
+
+
+def test_not_exists(db):
+    got = db.run_lines(
+        "select okey from o where not exists (select * from l where l.okey = o.okey)"
+    )
+    assert got == ["3"]
+
+
+def test_in_subquery(db):
+    got = db.run_lines(
+        "select okey from o where okey in (select okey from l where qty > 2)"
+    )
+    assert got == ["1", "4"]
+
+
+def test_not_in_subquery(db):
+    got = db.run_lines(
+        "select okey from o where okey not in (select okey from l)"
+    )
+    assert got == ["3"]
+
+
+def test_not_in_null_aware(db):
+    # any NULL on the inner side makes NOT IN unprovable for every row
+    db.run("insert into l values (null, 2)")
+    got = db.run_lines(
+        "select okey from o where okey not in (select okey from l)"
+    )
+    assert got == []
+
+
+def test_not_in_empty_inner(db):
+    got = db.run_lines(
+        "select okey from o where okey not in (select okey from l where qty > 100)"
+    )
+    assert got == ["1", "2", "3", "4"]
+
+
+def test_in_grouped_having_inner(db):
+    # Q18 shape: IN over an aggregated/HAVING subquery
+    got = db.run_lines(
+        "select okey from o where okey in "
+        "(select okey from l group by okey having sum(qty) > 10)"
+    )
+    assert got == ["1"]
+
+
+def test_exists_with_inequality_residual(db):
+    # Q21 shape: equality + non-equality correlation
+    db.run("create table li(pk int, sk int, qty int)")
+    db.run("insert into li values (1,10,4),(1,10,6),(1,20,20),(2,10,10),(3,30,2)")
+    got = db.run_lines(
+        "select pk, sk from li l1 where exists "
+        "(select * from li l2 where l2.pk = l1.pk and l2.sk <> l1.sk)"
+    )
+    assert got == ["1 10", "1 10", "1 20"]
+
+
+def test_correlated_scalar_single_key(db):
+    # Q17 shape: per-partkey avg threshold
+    db.run("create table li(pk int, sk int, qty int)")
+    db.run("insert into li values (1,10,4),(1,10,6),(1,20,20),(2,10,10),(3,30,2)")
+    got = db.run_lines(
+        "select sum(qty) from li where qty < "
+        "(select 0.5 * avg(qty) from li l2 where l2.pk = li.pk)"
+    )
+    assert got == ["4"]
+
+
+def test_correlated_scalar_two_keys(db):
+    # Q20 shape: correlation on two columns
+    db.run("create table li(pk int, sk int, qty int)")
+    db.run("insert into li values (1,10,4),(1,10,6),(1,20,20),(2,10,10),(3,30,2)")
+    got = db.run_lines(
+        "select pk, sk from li l0 where qty > "
+        "(select 0.5*sum(qty) from li l2 where l2.pk = l0.pk and l2.sk = l0.sk) "
+        "and qty > 4"
+    )
+    assert got == ["1 10", "1 20", "2 10"]
+
+
+def test_correlated_scalar_empty_group_is_null(db):
+    # a group with no inner rows yields NULL -> comparison is unknown -> drop
+    got = db.run_lines(
+        "select okey from o where okey <= "
+        "(select sum(qty) from l where l.okey = o.okey)"
+    )
+    # okey 3 has no l rows (NULL sum); 1<=12 yes, 2<=1 no, 4<=9 yes
+    assert got == ["1", "4"]
+
+
+def test_scalar_subquery_in_having(db):
+    # Q11 shape: HAVING compares against an uncorrelated scalar subquery
+    got = db.run_lines(
+        "select ckey, sum(okey) from o group by ckey "
+        "having sum(okey) > (select 0.8 * max(okey) from o)"
+    )
+    # threshold 0.8*4 = 3.2: sums are 3 (ckey1), 3 (ckey2), 4 (ckey3)
+    assert got == ["3 4"]
+
+
+def test_view_lifecycle(db):
+    db.run("create view v1 (a, total) as select okey, sum(qty) from l group by okey")
+    got = db.run_lines("select a, total from v1 where total = (select max(total) from v1)")
+    assert got == ["1 12"]
+    db.run("drop view v1")
+    with pytest.raises(Exception):
+        db.run("select * from v1")
+    db.run("drop view if exists v1")  # no error
+
+
+def test_cte(db):
+    got = db.run_lines(
+        "with rev (a, t) as (select okey, sum(qty) from l group by okey) "
+        "select a from rev where t > 8 order by a"
+    )
+    assert got == ["1", "4"]
+
+
+def test_substring_and_concat(db):
+    got = db.run_lines(
+        "select substring(prio from 1 for 1), prio || '!' from o order by okey"
+    )
+    assert got == ["H HI!", "L LO!", "H HI!", "L LO!"]
+
+
+def test_substring_in_list(db):
+    # Q22 shape
+    got = db.run_lines(
+        "select count(*) from o where substring(prio from 1 for 1) in ('H')"
+    )
+    assert got == ["2"]
+
+
+def test_comma_join_becomes_hash_join(db):
+    # plan shape: Filter(CrossJoin) with an equality must lower to a hash
+    # join, preserving cross-join (left-major) emission order
+    got = db.run_lines(
+        "select o.okey, l.qty from o, l where o.okey = l.okey"
+    )
+    assert got == ["1 5", "1 7", "2 1", "4 9"]
+    plan = db.explain("select o.okey from o, l where o.okey = l.okey")
+    opt = plan.split("=== optimized_logical_plan ===")[1]
+    assert "Join(inner" in opt and "CrossJoin" not in opt
+
+
+def test_comma_join_oracle_random():
+    rng = np.random.default_rng(7)
+    from sqlrs_tpu.types import LogicalType as LT
+
+    d = sqlrs_tpu.Database()
+    a = rng.integers(0, 20, 200)
+    b = rng.integers(0, 20, 150)
+    v = rng.integers(-50, 50, 150)
+    d.create_memory_table_numpy("ta", [("k", LT.BIGINT)], [a])
+    d.create_memory_table_numpy("tb", [("k", LT.BIGINT), ("v", LT.BIGINT)], [b, v])
+    got = d.run_lines(
+        "select sum(tb.v) from ta, tb where ta.k = tb.k and tb.v > 0"
+    )
+    m = v > 0
+    counts = np.bincount(a, minlength=20)
+    exp = sum(int(v[i]) * counts[b[i]] for i in range(150) if m[i])
+    assert got == [str(exp)]
