@@ -260,10 +260,10 @@ def like_match(col: Column, pattern: str, negated: bool = False) -> Column:
         _re.DOTALL,
     )
     d = GLOBAL_STRINGS
-    match_table = np.fromiter(
-        (bool(rx.match(d.lookup(i))) for i in range(len(d))),
-        dtype=np.bool_,
-        count=len(d),
+    # memoized per-pattern, extended incrementally on dictionary growth —
+    # a repeated LIKE over a stable dictionary costs zero host regex work
+    match_table = d.match_table(
+        ("like", pattern), lambda s: bool(rx.match(s)), np.bool_
     )
     if negated:
         match_table = ~match_table
@@ -274,25 +274,23 @@ def like_match(col: Column, pattern: str, negated: bool = False) -> Column:
     return Column(LogicalType.BOOLEAN, table[codes], col.valid)
 
 
-def _code_map_column(col: Column, fn) -> Column:
+def _code_map_column(col: Column, key, fn) -> Column:
     """Apply a string→string function as a code→code dictionary mapping:
-    host work is O(D) over the distinct strings (interning any new results),
-    then ONE device gather maps the column. The same shape as LIKE — row
-    count never touches the host."""
+    host work is O(new distinct strings) thanks to the memoized incremental
+    match_table (interning any new results), then ONE device gather maps the
+    column — row count never touches the host."""
     from sqlrs_tpu.data.strings import GLOBAL_STRINGS, NULL_CODE
 
     d = GLOBAL_STRINGS
     n_before = len(d)
-    table = np.empty(max(n_before, 1), np.int32)
-    for i in range(n_before):
-        table[i] = d.intern(fn(d.lookup(i)))
     if n_before == 0:
         return Column(
             LogicalType.VARCHAR,
             jnp.full(len(col), NULL_CODE, jnp.int32),
             col.valid,
         )
-    jt = jnp.asarray(table[:n_before])
+    table = d.match_table(key, lambda s: d.intern(fn(s)), np.int32)
+    jt = jnp.asarray(table)
     codes = jnp.clip(col.data, 0, n_before - 1)
     return Column(LogicalType.VARCHAR, jt[codes], col.valid)
 
@@ -303,9 +301,9 @@ def substring_column(col: Column, start: int, length=None) -> Column:
     uses positive constants only)."""
     s0 = max(start - 1, 0)
     if length is None:
-        return _code_map_column(col, lambda s: s[s0:])
+        return _code_map_column(col, ("substr", s0, None), lambda s: s[s0:])
     end = s0 + max(int(length), 0)
-    return _code_map_column(col, lambda s: s[s0:end])
+    return _code_map_column(col, ("substr", s0, end), lambda s: s[s0:end])
 
 
 def concat_columns(left: Column, right: Column) -> Column:
