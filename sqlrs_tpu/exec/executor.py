@@ -356,8 +356,8 @@ class Executor:
                 _concat_schema(left, right), left, right, l_idx, r_idx
             )
             keep = execute_expr(op.filter, pairs)
-            sel = ew.selection_to_indices(keep)
-            l_idx = jnp.asarray(l_idx)[sel]
+            cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
+            l_idx = jnp.asarray(l_idx)[compact_indices(keep, cnt)]
         nl = left.num_rows
         matched = (
             jnp.zeros((nl,), jnp.bool_).at[jnp.asarray(l_idx)].set(True)
@@ -371,8 +371,8 @@ class Executor:
             for c in left_keys:
                 keep_mask = keep_mask & c.valid
         keep_col = Column(LogicalType.BOOLEAN, keep_mask, jnp.ones(nl, jnp.bool_))
-        idx = ew.selection_to_indices(keep_col)
-        out = left.take(idx)
+        n_keep = int(jnp.sum(keep_mask))
+        out = left.take(compact_indices(keep_col, n_keep))
         return DeviceBatch(out_schema, out.columns, out.num_rows)
 
     def _exec_HashJoin(self, op: P.PhysicalHashJoin) -> DeviceBatch:
@@ -395,38 +395,46 @@ class Executor:
         if r_alive is not None:
             right_keys = [c.mask_invalid(r_alive) for c in right_keys]
         l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
+        l_idx, r_idx = jnp.asarray(l_idx), jnp.asarray(r_idx)
 
         if op.filter is not None and len(l_idx):
+            # device-side residual compaction: evaluate the filter on the
+            # pairs, flag-sort-compact the index pairs — the only host sync
+            # is the surviving count (the old path shipped an N-sized
+            # selection through numpy, seconds per join over the relay)
             pairs = _merge_rows(op, left, right, l_idx, r_idx)
             keep = execute_expr(op.filter, pairs)
-            sel = ew.selection_to_indices(keep)
-            l_idx, r_idx = l_idx[np.asarray(sel)], r_idx[np.asarray(sel)]
+            cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
+            sel = compact_indices(keep, cnt)
+            l_idx, r_idx = l_idx[sel], r_idx[sel]
 
-        # Unmatched-row passes. Right/full joins re-add unmatched right rows
-        # interleaved in probe (right-row) order — the reference's
-        # apply_join_filter rebuilds them inside the same probe batch
-        # (reference hash_join.rs:73-121), so `... right join department`
-        # emits Finance between Marketing and Engineering. Unmatched left
-        # rows come from a final pass and append at the end
-        # (reference hash_join.rs:294-322).
+        # Unmatched-row passes, device-side: a scatter marks visited rows
+        # and a flag-sort compaction extracts the unmatched index set (the
+        # old np.setdiff1d pulled full row-index ranges to the host).
+        # Right/full joins re-add unmatched right rows interleaved in probe
+        # (right-row) order — the reference's apply_join_filter rebuilds
+        # them inside the same probe batch (reference hash_join.rs:73-121),
+        # so `... right join department` emits Finance between Marketing
+        # and Engineering. Unmatched left rows come from a final pass and
+        # append at the end (reference hash_join.rs:294-322).
         if op.join_type in ("right", "full"):
-            unmatched_r = np.setdiff1d(
-                np.arange(right.num_rows, dtype=np.int64), r_idx
+            um_r, n_um = _unmatched_indices(r_idx, right.num_rows)
+            all_l = jnp.concatenate(
+                [l_idx, jnp.full((n_um,), jnp.int64(-1))]
             )
-            sentinel = np.int64(-1)
-            all_l = np.concatenate([l_idx, np.full(len(unmatched_r), sentinel)])
-            all_r = np.concatenate([r_idx, unmatched_r])
-            order = np.argsort(all_r, kind="stable")
-            all_l, all_r = all_l[order], all_r[order]
+            all_r = jnp.concatenate([r_idx, um_r])
+            # stable sort by probe row interleaves unmatched rows at their
+            # probe positions (pair order within a probe row is preserved)
+            all_r, all_l = jax.lax.sort(
+                (all_r, all_l), num_keys=1, is_stable=True
+            )
             matched_part = _merge_rows_nullable(op, left, right, all_l, all_r)
         else:
             matched_part = _merge_rows(op, left, right, l_idx, r_idx)
         parts = [matched_part]
         if op.join_type in ("left", "full"):
-            unmatched_l = np.setdiff1d(
-                np.arange(left.num_rows, dtype=np.int64), l_idx
-            )
-            parts.append(_merge_rows(op, left, right, unmatched_l, None))
+            um_l, _ = _unmatched_indices(l_idx, left.num_rows)
+            parts.append(_merge_rows(op, left, right, um_l, None))
         return DeviceBatch.concat(parts)
 
     def _exec_CrossJoin(self, op: P.PhysicalCrossJoin) -> DeviceBatch:
@@ -561,11 +569,24 @@ def _gather_pairs(op, left, right, li, ri, l_live=None) -> DeviceBatch:
     return DeviceBatch(_schema(op), cols, n)
 
 
+def _unmatched_indices(idx, n: int):
+    """Device-side unmatched-row detection: scatter a visited bitmap at the
+    matched indices, then flag-sort-compact the complement. ONE host sync
+    (the unmatched count)."""
+    visited = jnp.zeros((n,), jnp.bool_)
+    if len(idx):
+        visited = visited.at[idx].set(True)
+    unmatched = jnp.logical_not(visited)
+    cnt = int(jnp.sum(unmatched))
+    keep = Column(LogicalType.BOOLEAN, unmatched, jnp.ones(n, jnp.bool_))
+    return compact_indices(keep, cnt), cnt
+
+
 def _merge_rows_nullable(op, left: DeviceBatch, right: DeviceBatch, l_idx, r_idx) -> DeviceBatch:
     """Like _merge_rows but a -1 left index means NULL left columns for that
     row (mixed matched/unmatched-right emission)."""
-    li = jnp.asarray(np.maximum(l_idx, 0))
-    l_valid = jnp.asarray(np.asarray(l_idx) >= 0)
+    li = jnp.maximum(jnp.asarray(l_idx), 0)
+    l_valid = jnp.asarray(l_idx) >= 0
     ri = jnp.asarray(r_idx)
     return _gather_pairs(op, left, right, li, ri, l_live=l_valid)
 
