@@ -217,3 +217,212 @@ def test_optimized_results_match(db):
     ]
     for q in queries:
         assert db.run_lines(q) == db.run_lines(q)  # deterministic
+
+
+# ---- the 23 reference sqlplannertest golden cases, ported 1:1 ---------------
+# (reference tests/planner/{predicate-pushdown,limit-pushdown,column-pruning,
+# combine-operators}.yml and their checked-in *.planner.sql optimized plans;
+# asserted as plan-shape equivalence, not string equality)
+
+
+def scan_cols(get: L.LogicalGet):
+    return [get.returned_names[c] for c in (get.projection
+            if get.projection is not None else range(len(get.returned_names)))]
+
+
+def scans_by_width(plan):
+    return find_ops(plan, L.LogicalGet)
+
+
+class TestReferencePredicatePushdownGoldens:
+    def test_pp1_inner_pushdown_to_either_side(self, db):
+        p = plan_for(db, "select t1.* from t1 inner join t2 on t1.a=t2.b "
+                         "where t2.a > 2 and t1.a > 1")
+        join = find_ops(p, L.LogicalJoin)[0]
+        assert find_ops(join.children[0], L.LogicalFilter)
+        assert find_ops(join.children[1], L.LogicalFilter)
+        assert not isinstance(p, L.LogicalFilter)
+        assert join.filter is None
+
+    def test_pp2_left_join_pushes_left_only(self, db):
+        p = plan_for(db, "select t1.* from t1 left join t2 on t1.a=t2.b "
+                         "where t2.a > 2 and t1.a > 1")
+        join = find_ops(p, L.LogicalJoin)[0]
+        lf = find_ops(join.children[0], L.LogicalFilter)
+        assert len(lf) == 1 and "a > 1" in lf[0].predicate.name()
+        assert not find_ops(join.children[1], L.LogicalFilter)
+        above = [f for f in find_ops(p, L.LogicalFilter) if f not in lf]
+        assert len(above) == 1 and "a > 2" in above[0].predicate.name()
+
+    def test_pp3_right_join_pushes_right_only(self, db):
+        p = plan_for(db, "select t1.* from t1 right join t2 on t1.a=t2.b "
+                         "where t2.a > 2 and t1.a > 1")
+        join = find_ops(p, L.LogicalJoin)[0]
+        rf = find_ops(join.children[1], L.LogicalFilter)
+        assert len(rf) == 1 and "a > 2" in rf[0].predicate.name()
+        assert not find_ops(join.children[0], L.LogicalFilter)
+        above = [f for f in find_ops(p, L.LogicalFilter) if f not in rf]
+        assert len(above) == 1 and "a > 1" in above[0].predicate.name()
+
+    def test_pp4_common_filter_into_join_condition(self, db):
+        p = plan_for(db, "select t1.* from t1 inner join t2 on t1.a=t2.b "
+                         "where t2.a > 2 and t1.a > t2.a")
+        join = find_ops(p, L.LogicalJoin)[0]
+        assert join.filter is not None and "a > a" in join.filter.name().replace(
+            "t1.", "").replace("t2.", "")
+        assert find_ops(join.children[1], L.LogicalFilter)
+
+    def test_pp5_left_join_keeps_mixed_above(self, db):
+        p = plan_for(db, "select t1.* from t1 left join t2 on t1.a=t2.b "
+                         "where t2.a > 2 and t1.a > t2.a")
+        join = find_ops(p, L.LogicalJoin)[0]
+        assert not find_ops(join.children[0], L.LogicalFilter)
+        assert not find_ops(join.children[1], L.LogicalFilter)
+        assert join.filter is None
+        top_filters = find_ops(p, L.LogicalFilter)
+        assert len(top_filters) == 1
+        name = top_filters[0].predicate.name()
+        assert "> 2" in name and "a > a" in name.replace("t1.", "").replace("t2.", "")
+
+    def test_pp6_right_join_keeps_mixed_above(self, db):
+        p = plan_for(db, "select t1.* from t1 right join t2 on t1.a=t2.b "
+                         "where t1.a > 2 and t1.a > t2.a")
+        join = find_ops(p, L.LogicalJoin)[0]
+        assert not find_ops(join.children[0], L.LogicalFilter)
+        assert not find_ops(join.children[1], L.LogicalFilter)
+        top_filters = find_ops(p, L.LogicalFilter)
+        assert len(top_filters) == 1
+
+    def test_pp7_filter_through_subquery_alias(self, db):
+        p = plan_for(db, "select t.a from (select * from t1 where a > 1) t "
+                         "where t.b > 7")
+        filters = find_ops(p, L.LogicalFilter)
+        assert len(filters) == 1
+        name = filters[0].predicate.name()
+        assert "b > 7" in name and "a > 1" in name
+        assert isinstance(filters[0].children[0], L.LogicalGet)
+
+
+class TestReferenceLimitPushdownGoldens:
+    def test_lp1_limit_into_scan_bounds(self, db):
+        p = plan_for(db, "select a from t1 offset 2 limit 1")
+        assert not find_ops(p, L.LogicalLimit)
+        (get,) = find_ops(p, L.LogicalGet)
+        assert get.bounds == (2, 1)
+
+    def test_lp2_no_pushdown_through_order(self, db):
+        p = plan_for(db, "select t1.a from t1 order by t1.b offset 1 limit 1")
+        assert find_ops(p, L.LogicalLimit)
+        assert find_ops(p, L.LogicalOrder)
+        (get,) = find_ops(p, L.LogicalGet)
+        assert get.bounds is None
+
+    def test_lp3_limit_through_left_join(self, db):
+        p = plan_for(db, "select t1.a from t1 left join t2 on t1.a=t2.b "
+                         "offset 1 limit 1")
+        join = find_ops(p, L.LogicalJoin)[0]
+        left_get = find_ops(join.children[0], L.LogicalGet)[0]
+        right_get = find_ops(join.children[1], L.LogicalGet)[0]
+        assert left_get.bounds == (0, 2)  # limit+offset copied to preserved side
+        assert right_get.bounds is None
+        assert find_ops(p, L.LogicalLimit)  # outer limit retained
+
+    def test_lp4_limit_through_right_join(self, db):
+        p = plan_for(db, "select t1.a from t1 right join t2 on t1.a=t2.b limit 1")
+        join = find_ops(p, L.LogicalJoin)[0]
+        right_get = find_ops(join.children[1], L.LogicalGet)[0]
+        left_get = find_ops(join.children[0], L.LogicalGet)[0]
+        assert right_get.bounds == (0, 1)
+        assert left_get.bounds is None
+
+    def test_lp5_offset_only_not_pushed(self, db):
+        p = plan_for(db, "select t1.a from t1 right join t2 on t1.a=t2.b offset 10")
+        for get in find_ops(p, L.LogicalGet):
+            assert get.bounds is None
+        assert find_ops(p, L.LogicalLimit)
+
+
+class TestReferenceColumnPruningGoldens:
+    def test_cp1_prune_into_scan(self, db):
+        p = plan_for(db, "select a from t1")
+        (get,) = find_ops(p, L.LogicalGet)
+        assert scan_cols(get) == ["a"]
+
+    def test_cp2_prune_across_aggregate(self, db):
+        p = plan_for(db, "select sum(b)+1 from t1 where a > 1")
+        (get,) = find_ops(p, L.LogicalGet)
+        assert set(scan_cols(get)) == {"a", "b"}
+        assert find_ops(p, L.LogicalAggregate)
+
+    def test_cp3_remove_unused_projection(self, db):
+        p = plan_for(db, "select sum(b) from t1 where a > 1")
+        (get,) = find_ops(p, L.LogicalGet)
+        assert set(scan_cols(get)) == {"a", "b"}
+
+    def test_cp4_prune_across_join(self, db):
+        p = plan_for(db, "select t1.a, t2.b from t1 left join t2 on t1.a = t2.a "
+                         "where t2.b > 1")
+        join = find_ops(p, L.LogicalJoin)[0]
+        lget = find_ops(join.children[0], L.LogicalGet)[0]
+        rget = find_ops(join.children[1], L.LogicalGet)[0]
+        assert scan_cols(lget) == ["a"]
+        assert set(scan_cols(rget)) == {"a", "b"}
+
+    def test_cp5_prune_across_multiple_joins(self):
+        d = sqlrs_tpu.Database()
+        for name in ("employee", "department", "state"):
+            d.create_csv_table(name, f"/root/reference/tests/csv/{name}.csv")
+        p = plan_for(d,
+            "select employee.id, employee.first_name, "
+            "department.department_name, state.state_name, state.state_code "
+            "from employee "
+            "left join department on employee.department_id=department.id "
+            "right join state on state.state_code=employee.state")
+        allsets = [set(scan_cols(g)) for g in find_ops(p, L.LogicalGet)]
+        assert {"id", "first_name", "state", "department_id"} in allsets
+        assert {"id", "department_name"} in allsets
+        assert {"state_code", "state_name"} in allsets
+
+    def test_cp6_prune_across_subquery(self, db):
+        p = plan_for(db, "select a, t2.v1 as max_b from t1 cross join "
+                         "(select max(b) as v1 from t1) t2")
+        gets = find_ops(p, L.LogicalGet)
+        assert sorted(tuple(scan_cols(g)) for g in gets) == [("a",), ("b",)]
+
+    def test_cp7_prune_across_multiple_subqueries(self, db):
+        p = plan_for(db, "select t1.a, sub0.v0, sub1.v0 from t1 "
+                         "cross join (select max(b) as v0 from t1) sub0 "
+                         "cross join (select min(b) as v0 from t1) sub1")
+        gets = find_ops(p, L.LogicalGet)
+        assert sorted(tuple(scan_cols(g)) for g in gets) == [
+            ("a",), ("b",), ("b",)]
+
+    def test_cp8_prune_across_scalar_subquery(self, db):
+        p = plan_for(db, "select a, (select max(b) from t1) from t1")
+        gets = find_ops(p, L.LogicalGet)
+        assert sorted(tuple(scan_cols(g)) for g in gets) == [("a",), ("b",)]
+
+    def test_cp9_prune_across_multiple_scalar_subqueries(self, db):
+        p = plan_for(db, "select a, (select max(b) from t1) + "
+                         "(select min(b) from t1) as mix_b from t1")
+        gets = find_ops(p, L.LogicalGet)
+        assert sorted(tuple(scan_cols(g)) for g in gets) == [
+            ("a",), ("b",), ("b",)]
+
+    def test_cp10_prune_scalar_subquery_in_where(self, db):
+        p = plan_for(db, "select t1.a, t1.b from t1 "
+                         "where a >= (select max(a) from t1)")
+        gets = find_ops(p, L.LogicalGet)
+        assert sorted(tuple(scan_cols(g)) for g in gets) == [("a",), ("a", "b")]
+
+
+class TestReferenceCombineOperatorsGolden:
+    def test_combine_projects_and_filters(self, db):
+        p = plan_for(db, "select t_2.* from (select t_1.* from "
+                         "(select * from t1 where c < 2) t_1 where t_1.a > 1) t_2 "
+                         "where t_2.b > 7")
+        filters = find_ops(p, L.LogicalFilter)
+        assert len(filters) == 1
+        name = filters[0].predicate.name()
+        assert "b > 7" in name and "a > 1" in name and "c < 2" in name
+        assert isinstance(filters[0].children[0], L.LogicalGet)
