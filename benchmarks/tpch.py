@@ -109,10 +109,15 @@ def main(argv=None) -> None:
     for qn in qns:
         times = []
         got = None
-        for r in range(max(args.repeat, 1)):
-            t0 = time.time()
-            got = run_query(db, qn)
-            times.append(time.time() - t0)
+        try:
+            for r in range(max(args.repeat, 1)):
+                t0 = time.time()
+                got = run_query(db, qn)
+                times.append(time.time() - t0)
+        except Exception as e:  # keep the sweep alive; record the failure
+            print(f"Q{qn:<2} ERROR {type(e).__name__}: {e}", flush=True)
+            failures.append(f"Q{qn}: {type(e).__name__}: {e}")
+            continue
         steady = min(times[1:]) if len(times) > 1 else times[0]
         timings[qn] = steady
         print(f"Q{qn:<2} first={times[0]:7.2f}s steady={steady:7.2f}s "

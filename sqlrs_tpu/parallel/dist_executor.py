@@ -41,6 +41,21 @@ from sqlrs_tpu.exec.executor import Executor, _schema
 from sqlrs_tpu.exec.expression_executor import execute_expr, execute_exprs_fused
 from sqlrs_tpu.ops import elementwise as ew
 from sqlrs_tpu.parallel.mesh import DATA_AXIS, replicated, row_sharding
+
+
+def _host(x) -> np.ndarray:
+    """Host fetch that works when `x` spans processes (multi-host mesh):
+    plain np.asarray raises for arrays with non-addressable shards, so
+    cross-process-sharded values go through process_allgather."""
+    if (
+        isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+        and not x.is_fully_replicated
+    ):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 from sqlrs_tpu.plan import physical as P
 from sqlrs_tpu.types import LogicalType, ScalarValue, numpy_dtype_for
 
@@ -73,12 +88,12 @@ class ShardedBatch:
     def to_device_batch(self) -> DeviceBatch:
         """Collect: gather shards, compact dead rows. Preserves single-device
         row order (block-contiguous sharding + stable masking)."""
-        alive = np.asarray(self.alive)
+        alive = _host(self.alive)
         idx = np.nonzero(alive)[0]
         cols = []
         for c in self.columns:
-            data = np.asarray(c.data)[idx]
-            valid = np.asarray(c.valid)[idx]
+            data = _host(c.data)[idx]
+            valid = _host(c.valid)[idx]
             cols.append(Column.from_numpy(c.type, data, valid))
         out = DeviceBatch(self.schema, cols, len(idx))
         if self.parts:
@@ -135,7 +150,7 @@ class DistributedExecutor:
         with self.profile.measure("dist:" + op.explain_line()[:54]) as stats:
             out = method(op)
             if isinstance(out, ShardedBatch):
-                stats.rows_out = int(jnp.sum(out.alive))
+                stats.rows_out = int(_host(jnp.sum(out.alive)))
             else:
                 stats.rows_out = out.num_rows
         return out
@@ -271,10 +286,10 @@ class DistributedExecutor:
     def _simple_agg_value(self, a, view: DeviceBatch, alive) -> ScalarValue:
         rt = a.return_type()
         if a.arg is None:  # count(*)
-            return ScalarValue(rt, int(jnp.sum(alive)))
+            return ScalarValue(rt, int(_host(jnp.sum(alive))))
         col = execute_expr(a.arg, view)
         ok = alive & col.valid
-        cnt = int(jnp.sum(ok))
+        cnt = int(_host(jnp.sum(ok)))
         name = a.function_name
         if name == "count":
             return ScalarValue(rt, cnt)
@@ -294,7 +309,7 @@ class DistributedExecutor:
                 key, _ = orderable_key(col)
                 big = jnp.iinfo(key.dtype).max
                 k = jnp.where(ok, key, big if name == "min" else -big)
-                i = int(jnp.argmin(k) if name == "min" else jnp.argmax(k))
+                i = int(_host(jnp.argmin(k) if name == "min" else jnp.argmax(k)))
                 return view_scalar(col, i)
             dt = numpy_dtype_for(col.type)
             if col.type.is_float():
@@ -416,20 +431,20 @@ class DistributedExecutor:
                 in_specs=(PS(axis),) * len(arrays),
                 out_specs=PS(axis),
             )(*arrays)
-            overflow = bool(np.any(np.asarray(outs[3])))
+            overflow = bool(np.any(_host(outs[3])))
             if not overflow or g_cap >= next_pow2(cap_local):
                 break
             g_cap = min(g_cap * 4, next_pow2(cap_local))  # bucketed recompile
 
         # ---- assemble gathered partials (host compact at G size) --------------
-        first_row = np.asarray(outs[0])
-        live = np.asarray(outs[1])
+        first_row = _host(outs[0])
+        live = _host(outs[1])
         idx = np.nonzero(live)[0]
         p = 4
         partial_keys = []
         for c in key_cols:
-            kd = np.asarray(outs[p])[idx]
-            kv = np.asarray(outs[p + 1])[idx]
+            kd = _host(outs[p])[idx]
+            kv = _host(outs[p + 1])[idx]
             p += 2
             partial_keys.append(Column.from_numpy(c.type, kd, kv))
         merge_specs = [
@@ -443,14 +458,14 @@ class DistributedExecutor:
         for (kind, _ix, _dt), a in zip(agg_desc, op.aggregates):
             rt = a.return_type()
             if kind in ("count_star", "count"):
-                cnt = Column.from_numpy(LogicalType.BIGINT, np.asarray(outs[p])[idx])
+                cnt = Column.from_numpy(LogicalType.BIGINT, _host(outs[p])[idx])
                 p += 1
                 result_plan.append(("count", len(merge_specs), rt))
                 merge_specs.append(("sum", cnt, LogicalType.BIGINT))
             elif kind in ("sum", "avg"):
                 # state order sorted(): cnt, sum
-                cnt_np = np.asarray(outs[p])[idx]
-                sum_np = np.asarray(outs[p + 1])[idx]
+                cnt_np = _host(outs[p])[idx]
+                sum_np = _host(outs[p + 1])[idx]
                 p += 2
                 has = cnt_np > 0
                 st = LogicalType.DOUBLE if kind == "avg" else rt
@@ -465,8 +480,8 @@ class DistributedExecutor:
                     merge_specs.append(("sum", sum_col, rt))
             elif kind in ("min", "max", "vmin", "vmax"):
                 # state order sorted(): best, cnt
-                best_np = np.asarray(outs[p])[idx]
-                cnt_np = np.asarray(outs[p + 1])[idx]
+                best_np = _host(outs[p])[idx]
+                cnt_np = _host(outs[p + 1])[idx]
                 p += 2
                 has = cnt_np > 0
                 if kind in ("vmin", "vmax"):
@@ -584,7 +599,7 @@ class DistributedExecutor:
         if nl > 0:
             capacity = next_pow2(max(2 * nl, 16))
             table, start, bcounts, order = build_join_table(bh, capacity)
-            m = int(jnp.max(bcounts))
+            m = int(_host(jnp.max(bcounts)))
         else:
             m = 0
         w = max(m, 1) + extra
@@ -653,7 +668,7 @@ class DistributedExecutor:
                 .at[jnp.where(alive & match_flat, cand_flat, nl)]
                 .add(1)[:nl]
             )
-            unmatched_l = np.nonzero(~(np.asarray(visited) > 0))[0]
+            unmatched_l = np.nonzero(~(_host(visited) > 0))[0]
             if len(unmatched_l):
                 out.parts.append(
                     _merge_rows(op, left, rview, unmatched_l, None)
