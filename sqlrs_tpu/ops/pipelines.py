@@ -2,9 +2,11 @@
 
 Each pipeline is ONE jit program: scan → probe → aggregate with no host
 round-trips, so a query is a handful of XLA executions rather than hundreds
-of small dispatches. These back `bench.py` and `__graft_entry__.py`; the
-general executor routes to them when types allow (int-keyed fact⋈dim +
-group-by — the north-star workload).
+of small dispatches. These back `bench.py`, `__graft_entry__.py`, and the
+kernel benchmarks; the general SQL executor uses the same building blocks
+(ops/join.py pair generation, ops/grouped_agg.py sorted runs) but does NOT
+route whole queries here — fusing HashAgg-over-HashJoin plans into these
+pipelines is future work.
 """
 
 from __future__ import annotations

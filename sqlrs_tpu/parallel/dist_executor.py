@@ -537,6 +537,15 @@ class DistributedExecutor:
     _JOIN_MAX_CELLS = 1 << 26
 
     def _dexec_HashJoin(self, op: P.PhysicalHashJoin):
+        if op.join_type in ("semi", "anti"):
+            # semi/anti emit each left row at most once; the broadcast
+            # match-strip layout below would emit one row per MATCH —
+            # delegate to the single-device executor until a dedicated
+            # distributed mark-join lands
+            cache = {
+                id(c): self._materialize(self.execute(c)) for c in op.children
+            }
+            return _DelegatingExecutor(self.db, cache).execute(op)
         right = self.execute(op.children[1])
         if not isinstance(right, ShardedBatch) or right.parts:
             cache = {id(op.children[1]): self._materialize(right)}

@@ -48,3 +48,22 @@ def test_tpch_fast(db_tables, qn):
 def test_tpch_full(db_tables, qn):
     db, tables = db_tables
     _check(db, tables, qn)
+
+
+@pytest.fixture(scope="module")
+def dist_db_tables():
+    tables = tpch_dbgen.gen_tables(SF, seed=3)
+    db = sqlrs_tpu.Database(n_devices=8)
+    tpch_dbgen.load_into(db, tables)
+    return db, tables
+
+
+# distributed tier: the same queries through Database(n_devices=8) must be
+# bit-identical to the oracles (and hence to the single-device engine);
+# covers sharded scan/filter/agg, the broadcast dist join, and the
+# materialize-and-delegate seam for semi/anti joins
+@pytest.mark.slow
+@pytest.mark.parametrize("qn", [1, 3, 4, 6, 12, 13, 14, 18, 19, 22])
+def test_tpch_distributed(dist_db_tables, qn):
+    db, tables = dist_db_tables
+    _check(db, tables, qn)
