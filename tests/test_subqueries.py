@@ -192,3 +192,58 @@ def test_comma_join_oracle_random():
     counts = np.bincount(a, minlength=20)
     exp = sum(int(v[i]) * counts[b[i]] for i in range(150) if m[i])
     assert got == [str(exp)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_semi_anti_randomized_differential(seed):
+    """Randomized EXISTS/NOT EXISTS/IN/NOT IN against numpy oracles,
+    including NULL keys on both sides."""
+    from sqlrs_tpu.types import LogicalType as LT
+
+    rng = np.random.default_rng(seed)
+    n_o, n_i = 300, 200
+    o_k = rng.integers(0, 40, n_o)
+    i_k = rng.integers(0, 40, n_i)
+    o_null = rng.random(n_o) < 0.1
+    i_null = rng.random(n_i) < 0.05
+    db = sqlrs_tpu.Database()
+    db.run("create table outer_t(k int, pos int)")
+    db.run("create table inner_t(k int)")
+    rows = ",".join(
+        f"({'null' if o_null[i] else int(o_k[i])},{i})" for i in range(n_o)
+    )
+    db.run(f"insert into outer_t values {rows}")
+    rows = ",".join(
+        f"({'null' if i_null[i] else int(i_k[i])})" for i in range(n_i)
+    )
+    db.run(f"insert into inner_t values {rows}")
+
+    inner_set = set(i_k[~i_null].tolist())
+    inner_has_null = bool(i_null.any())
+
+    got = db.run_lines(
+        "select pos from outer_t where k in (select k from inner_t)")
+    exp = [str(i) for i in range(n_o) if not o_null[i] and o_k[i] in inner_set]
+    assert got == exp
+
+    got = db.run_lines(
+        "select pos from outer_t where k not in (select k from inner_t)")
+    if inner_has_null:
+        exp = []
+    else:
+        exp = [str(i) for i in range(n_o)
+               if not o_null[i] and o_k[i] not in inner_set]
+    assert got == exp
+
+    got = db.run_lines(
+        "select pos from outer_t o where exists "
+        "(select * from inner_t i where i.k = o.k)")
+    exp = [str(i) for i in range(n_o) if not o_null[i] and o_k[i] in inner_set]
+    assert got == exp
+
+    got = db.run_lines(
+        "select pos from outer_t o where not exists "
+        "(select * from inner_t i where i.k = o.k)")
+    exp = [str(i) for i in range(n_o)
+           if o_null[i] or o_k[i] not in inner_set]
+    assert got == exp
