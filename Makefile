@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: check test test-full slt bench run native planner_test clean
+.PHONY: check test test-full slt bench tpch tpch_distributed run native planner_test clean
 
 check: native test-full slt
 
@@ -20,6 +20,17 @@ planner_test:
 
 bench:
 	$(PY) bench.py
+
+# TPC-H (reference Makefile:46-70 only scaffolds dbgen; here the suite RUNS):
+# all 22 queries over dbgen-faithful generated data, checked against pandas
+# oracles. SF=1.0 on a real chip takes hours of first-compiles over the
+# remote relay; SF=0.01 finishes in minutes on CPU.
+TPCH_SF ?= 0.01
+tpch:
+	$(PY) -m benchmarks.tpch --sf $(TPCH_SF) --check --repeat 2
+
+tpch_distributed:
+	$(PY) -m benchmarks.tpch --sf $(TPCH_SF) --check --repeat 1 --devices 8
 
 run:
 	$(PY) -m sqlrs_tpu.cli --csv-dir /root/reference/tests/csv
