@@ -216,6 +216,17 @@ class DeviceBatch:
         return DeviceBatch(self.schema, cols, length)
 
     def to_pylist(self) -> list[list[Any]]:
-        """Row-major host values (None for NULL) — session-boundary only."""
+        """Row-major host values (None for NULL) — session-boundary only.
+
+        All column transfers are started asynchronously before any is
+        awaited: per-column np.asarray costs one relay round trip EACH
+        (~28 ms over the axon tunnel), so a wide result used to pay
+        2×width RTTs; the async prefetch overlaps them into ~one."""
+        arrays = [a for c in self.columns for a in (c.data, c.valid)]
+        for a in arrays:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass  # plain numpy or tracer
         col_lists = [c.to_pylist() for c in self.columns]
         return [list(row) for row in zip(*col_lists)] if col_lists else []

@@ -538,14 +538,7 @@ class DistributedExecutor:
 
     def _dexec_HashJoin(self, op: P.PhysicalHashJoin):
         if op.join_type in ("semi", "anti"):
-            # semi/anti emit each left row at most once; the broadcast
-            # match-strip layout below would emit one row per MATCH —
-            # delegate to the single-device executor until a dedicated
-            # distributed mark-join lands
-            cache = {
-                id(c): self._materialize(self.execute(c)) for c in op.children
-            }
-            return _DelegatingExecutor(self.db, cache).execute(op)
+            return self._semi_anti_dist(op)
         right = self.execute(op.children[1])
         if not isinstance(right, ShardedBatch) or right.parts:
             cache = {id(op.children[1]): self._materialize(right)}
@@ -553,6 +546,60 @@ class DistributedExecutor:
             return _DelegatingExecutor(self.db, cache).execute(op)
         left = self._materialize(self.execute(op.children[0]))
         return self._hash_join_dist(op, left, right)
+
+    def _semi_anti_dist(self, op: P.PhysicalHashJoin):
+        """Distributed mark-join (decorrelated EXISTS / IN): the OUTER side
+        stays row-sharded; the subquery side materializes (it is a
+        dimension-sized result) and its sorted key array is replicated.
+        Each shard tests membership with a searchsorted probe into the
+        replicated table and flips its alive-mask — semi/anti emit each
+        left row at most once, in place, so no exchange and no pair
+        expansion happen at all. Single-equality, residual-free joins only
+        (all six TPC-H semi/anti shapes); everything else delegates."""
+        left = self.execute(op.children[0])
+        right = self._materialize(self.execute(op.children[1]))
+        if (
+            not isinstance(left, ShardedBatch)
+            or left.parts
+            or op.filter is not None
+            or len(op.on) != 1
+        ):
+            cache = {
+                id(op.children[0]): self._materialize(left),
+                id(op.children[1]): right,
+            }
+            return _DelegatingExecutor(self.db, cache).execute(op)
+        from sqlrs_tpu.ops.sort import orderable_key
+
+        anti = op.join_type == "anti"
+        view = left.view()
+        (l_col,) = execute_exprs_fused([op.on[0][0]], view)
+        r_col = execute_expr(op.on[0][1], right)
+        out_schema = _schema(op)
+        if right.num_rows == 0:
+            # NOT IN / NOT EXISTS over an empty set keeps every row (even
+            # NULL probes); semi keeps none
+            alive = left.alive if anti else jnp.zeros_like(left.alive)
+            return ShardedBatch(out_schema, left.columns, alive, self.mesh)
+        if op.null_aware and anti and bool(
+            _host(jnp.any(jnp.logical_not(r_col.valid)))
+        ):
+            return ShardedBatch(
+                out_schema, left.columns, jnp.zeros_like(left.alive), self.mesh
+            )
+        lk, lv = orderable_key(l_col)
+        rk, rv = orderable_key(r_col)
+        big = jnp.iinfo(rk.dtype).max
+        r_sorted = jnp.sort(jnp.where(rv, rk, big))  # invalid keys sort last
+        m = r_sorted.shape[0]
+        pos = jnp.clip(jnp.searchsorted(r_sorted, lk), 0, m - 1)
+        matched = lv & (r_sorted[pos] == lk) & (lk != big)
+        keep = jnp.logical_not(matched) if anti else matched
+        if op.null_aware and anti:
+            keep = keep & lv  # NULL probe never passes NOT IN (inner non-empty)
+        return ShardedBatch(
+            out_schema, left.columns, left.alive & keep, self.mesh
+        )
 
     def _hash_join_dist(self, op, left: DeviceBatch, right: ShardedBatch):
         """Broadcast-build distributed equi join (reference semantics from
