@@ -91,17 +91,83 @@ class _MatchTable:
         return self.table[:n]
 
 
+def _load_intern_lib():
+    """ctypes handle to native/libsqlrs_intern.so (auto-built); None when
+    unavailable or disabled via SQLRS_TPU_NATIVE_INTERN=0."""
+    import ctypes
+    import os
+    import subprocess
+
+    if os.environ.get("SQLRS_TPU_NATIVE_INTERN", "1") == "0":
+        return None
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+    )
+    lib_path = os.path.join(native_dir, "libsqlrs_intern.so")
+    try:
+        if not os.path.exists(lib_path):
+            subprocess.run(
+                ["make", "-C", native_dir, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(lib_path)
+    except Exception:
+        return None
+    lib.sqlrs_intern_bulk_ucs4.restype = ctypes.c_int64
+    lib.sqlrs_intern_bulk_ucs4.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.sqlrs_intern_one.restype = ctypes.c_int32
+    lib.sqlrs_intern_one.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    return lib
+
+
 class StringDictionary:
-    def __init__(self) -> None:
+    def __init__(self, native_ok: bool = False) -> None:
         self._codes: dict[str, int] = {}
         self._values: list[str] = []
         self._ranks: np.ndarray | None = None  # lex rank per code, cached
         self._match_tables: dict = {}  # key -> _MatchTable
+        # the native interner's hash map is PROCESS-GLOBAL (one bytes->code
+        # map, like this dictionary's contract); only the designated global
+        # instance may bind to it, and only while still empty so the two
+        # sides never diverge
+        self._native_ok = native_ok
+        self._native = None  # None = undecided, False = python path, else lib
+
+    def _native_lib(self):
+        if self._native is None:
+            self._native = (
+                (_load_intern_lib() or False)
+                if self._native_ok and not self._values
+                else False
+            )
+        return self._native
 
     def __len__(self) -> int:
         return len(self._values)
 
     def intern(self, s: str) -> int:
+        lib = self._native_lib()
+        if lib:
+            import ctypes
+
+            b = s.encode("utf-32-le")
+            is_new = ctypes.c_int32(0)
+            code = lib.sqlrs_intern_one(
+                b, len(b), len(self._values), ctypes.byref(is_new)
+            )
+            if is_new.value:
+                self._values.append(s)
+                self._ranks = None
+            return code
         code = self._codes.get(s)
         if code is None:
             code = len(self._values)
@@ -124,6 +190,26 @@ class StringDictionary:
             and arr.ndim == 1
             and len(arr) > 256
         ):
+            lib = self._native_lib()
+            if lib:
+                import ctypes
+
+                buf = np.ascontiguousarray(arr)
+                width = buf.dtype.itemsize // 4
+                codes = np.empty(len(buf), np.int32)
+                new_rows = np.empty(len(buf), np.int64)
+                n_new = lib.sqlrs_intern_bulk_ucs4(
+                    buf.ctypes.data_as(ctypes.c_void_p),
+                    len(buf),
+                    width,
+                    len(self._values),
+                    codes.ctypes.data_as(ctypes.c_void_p),
+                    new_rows.ctypes.data_as(ctypes.c_void_p),
+                )
+                if n_new:
+                    self._values.extend(buf[new_rows[:n_new]].tolist())
+                    self._ranks = None
+                return codes
             # np.unique SORTS, which dominates bulk-load time for
             # high-cardinality columns (TPC-H comments are near-unique:
             # the sort costs ~5x the dict pass it was meant to save).
@@ -184,4 +270,6 @@ class StringDictionary:
 
 # One dictionary per process: codes are globally comparable, so exchange
 # between partitions / hosts needs no dictionary reconciliation on device.
-GLOBAL_STRINGS = StringDictionary()
+# The global instance binds to the native C++ interner (native/interner.cpp)
+# when available — code assignment for bulk loads runs at native speed.
+GLOBAL_STRINGS = StringDictionary(native_ok=True)
