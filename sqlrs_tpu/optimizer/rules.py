@@ -197,6 +197,46 @@ class PushPredicateThroughJoin(Rule):
         return _filter_over(left_f + common, new_join)
 
 
+def factor_or_common(conjuncts: list[BoundExpr]) -> list[BoundExpr]:
+    """OR_i(A ∧ C_i) → A ∧ OR_i(C_i) for conjuncts A common to every
+    disjunct (∧ distributes over ∨ in Kleene logic, so NULL semantics are
+    preserved). The TPC-H Q19 shape repeats the join equality inside each
+    OR clause; without factoring it out, the comma-FROM stays a cross join
+    — a trillion-pair disaster at SF1. A disjunct whose remainder is empty
+    makes the whole OR implied by A, so the OR drops entirely."""
+    out: list[BoundExpr] = []
+    for c in conjuncts:
+        disjuncts = split_disjuncts(c)
+        if len(disjuncts) < 2:
+            out.append(c)
+            continue
+        parts = [split_conjuncts(d) for d in disjuncts]
+        rest_reprs = [{repr(y) for y in p} for p in parts[1:]]
+        common = [
+            x for x in parts[0] if all(repr(x) in rr for rr in rest_reprs)
+        ]
+        if not common:
+            out.append(c)
+            continue
+        common_reprs = {repr(x) for x in common}
+        remains: list[BoundExpr] = []
+        or_implied = False
+        for p in parts:
+            rem = [y for y in p if repr(y) not in common_reprs]
+            if not rem:
+                or_implied = True
+                break
+            remains.append(combine_conjuncts(rem))
+        out.extend(common)
+        if not or_implied:
+            out.append(
+                remains[0]
+                if len(remains) == 1
+                else BoundConjunction("OR", tuple(remains))
+            )
+    return out
+
+
 class PushPredicateThroughCrossJoin(Rule):
     """Filter(CrossJoin) → per-side pushdown + equality conjuncts linking
     both sides become an INNER equi-join (the comma-FROM TPC-H shape:
@@ -218,7 +258,7 @@ class PushPredicateThroughCrossJoin(Rule):
         left, right = cj.children
         left_b = set(left.output_bindings())
         right_b = set(right.output_bindings())
-        conjuncts = split_conjuncts(node.predicate)
+        conjuncts = factor_or_common(split_conjuncts(node.predicate))
         left_f, right_f, on_pairs, rest = [], [], [], []
         for c in conjuncts:
             refs = referenced_bindings([c])
