@@ -247,3 +247,46 @@ def test_semi_anti_randomized_differential(seed):
     exp = [str(i) for i in range(n_o)
            if o_null[i] or o_k[i] not in inner_set]
     assert got == exp
+
+
+def test_correlation_edge_cases():
+    """Combined/nested correlation shapes beyond the TPC-H set."""
+    db = sqlrs_tpu.Database()
+    db.run("create table a(x int, y int)")
+    db.run("insert into a values (1,10),(2,20),(3,30)")
+    db.run("create table b(x int, z int)")
+    db.run("insert into b values (1,5),(1,6),(2,100),(3,1)")
+    # correlated scalar + EXISTS in one WHERE
+    assert db.run_lines(
+        "select x from a where y > (select sum(z) from b where b.x = a.x) "
+        "and exists (select * from b where b.x = a.x and z < 10)"
+    ) == ["3"]
+    # two-level nested correlation (inner correlates to the middle scope)
+    assert db.run_lines(
+        "select x from a where exists (select * from b where b.x = a.x and "
+        "b.z > (select avg(z) from b b2 where b2.x = b.x))"
+    ) == ["1"]
+    # EXISTS whose subquery holds an uncorrelated scalar subquery
+    assert db.run_lines(
+        "select x from a where exists (select * from b where b.x = a.x and "
+        "z > (select min(z) from b))"
+    ) == ["1", "2"]
+    # IN over an expression with correlation in the inner WHERE
+    assert db.run_lines(
+        "select x from a where y in (select z * 2 from b where b.x = a.x)"
+    ) == ["1"]
+
+
+def test_factor_or_common_plan_shape():
+    """Q19 shape: the join equality repeated inside every OR disjunct must
+    still produce an inner join (OR-common factoring)."""
+    db = sqlrs_tpu.Database()
+    db.run("create table f(k int, q int)")
+    db.run("create table d(k int, size int)")
+    db.run("insert into f values (1,5),(2,15)")
+    db.run("insert into d values (1,3),(2,8)")
+    sql = ("select count(*) from f, d where "
+           "(f.k = d.k and q < 10 and size < 5) or (f.k = d.k and q >= 10 and size >= 5)")
+    assert db.run_lines(sql) == ["2"]
+    opt = db.explain(sql).split("=== optimized_logical_plan ===")[1]
+    assert "Join(inner" in opt and "CrossJoin" not in opt
