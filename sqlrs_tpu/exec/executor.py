@@ -352,10 +352,7 @@ class Executor:
                 return left.slice(0, 0)
         l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
         if op.filter is not None and len(l_idx):
-            pairs = _merge_rows_schema(
-                _concat_schema(left, right), left, right, l_idx, r_idx
-            )
-            keep = execute_expr(op.filter, pairs)
+            keep = _eval_residual_on_pairs(op.filter, left, right, l_idx, r_idx)
             cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
             l_idx = jnp.asarray(l_idx)[compact_indices(keep, cnt)]
         nl = left.num_rows
@@ -398,12 +395,12 @@ class Executor:
         l_idx, r_idx = jnp.asarray(l_idx), jnp.asarray(r_idx)
 
         if op.filter is not None and len(l_idx):
-            # device-side residual compaction: evaluate the filter on the
-            # pairs, flag-sort-compact the index pairs — the only host sync
-            # is the surviving count (the old path shipped an N-sized
-            # selection through numpy, seconds per join over the relay)
-            pairs = _merge_rows(op, left, right, l_idx, r_idx)
-            keep = execute_expr(op.filter, pairs)
+            # device-side residual compaction over ONLY the referenced
+            # columns: evaluate the filter on the pairs, flag-sort-compact
+            # the index pairs — the only host sync is the surviving count
+            # (the old path shipped an N-sized selection through numpy and
+            # gathered every output column before filtering)
+            keep = _eval_residual_on_pairs(op.filter, left, right, l_idx, r_idx)
             cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
             sel = compact_indices(keep, cnt)
             l_idx, r_idx = l_idx[sel], r_idx[sel]
@@ -535,6 +532,51 @@ def _gather_pairs_jit(l_datas, l_valids, r_datas, r_valids, li, ri, l_live):
 
 def _concat_schema(left: DeviceBatch, right: DeviceBatch) -> Schema:
     return Schema(tuple(left.schema.fields) + tuple(right.schema.fields))
+
+
+def _eval_residual_on_pairs(filter_expr, left, right, l_idx, r_idx):
+    """Evaluate a join residual over (l_idx, r_idx) pairs, gathering ONLY
+    the columns the filter references (the filter is positional against the
+    left++right layout). A wide join used to materialize every output
+    column just to decide which pairs survive — at SF1 Q21 that is
+    gigabytes of unused gather traffic."""
+    from sqlrs_tpu.binder.expression import BoundReference, rewrite_expr, visit_expr
+
+    refs: set[int] = set()
+
+    def _collect(e):
+        if isinstance(e, BoundReference):
+            refs.add(e.index)
+
+    visit_expr(filter_expr, _collect)
+    order = sorted(refs)
+    remap = {old: new for new, old in enumerate(order)}
+
+    def _remap(e):
+        if isinstance(e, BoundReference):
+            return BoundReference(remap[e.index], e.type, e.column_name)
+        return None
+
+    expr2 = rewrite_expr(filter_expr, _remap)
+    nl = len(left.columns)
+    l_cols = [left.columns[i] for i in order if i < nl]
+    r_cols = [right.columns[i - nl] for i in order if i >= nl]
+    all_fields = tuple(left.schema.fields) + tuple(right.schema.fields)
+    sub_fields = [all_fields[i] for i in order]
+    left_sub = DeviceBatch(
+        Schema(tuple(f for i, f in zip(order, sub_fields) if i < nl)),
+        l_cols,
+        left.num_rows,
+    )
+    right_sub = DeviceBatch(
+        Schema(tuple(f for i, f in zip(order, sub_fields) if i >= nl)),
+        r_cols,
+        right.num_rows,
+    )
+    pairs = _merge_rows_schema(
+        Schema(tuple(sub_fields)), left_sub, right_sub, l_idx, r_idx
+    )
+    return execute_expr(expr2, pairs)
 
 
 def _merge_rows_schema(schema, left, right, l_idx, r_idx) -> DeviceBatch:
