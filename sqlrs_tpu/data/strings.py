@@ -141,6 +141,11 @@ class StringDictionary:
         # sides never diverge
         self._native_ok = native_ok
         self._native = None  # None = undecided, False = python path, else lib
+        # incremental rank maintenance: codes in lex order + the values in
+        # that order (object array, so merges use Python comparisons only
+        # for the new entries)
+        self._sorted_codes: np.ndarray | None = None
+        self._sorted_vals: np.ndarray | None = None
 
     def _native_lib(self):
         if self._native is None:
@@ -247,13 +252,37 @@ class StringDictionary:
         """rank[code] = position of the string in lexicographic order.
 
         Monotone in string order, so rank comparison == string comparison.
-        Cached until a new string is interned.
+        Cached until a new string is interned; SMALL appends (≤10% growth,
+        e.g. substring results interned mid-query) MERGE into the cached
+        sorted order — O(new·log D) Python comparisons + O(D) pointer
+        moves — instead of re-sorting millions of strings.
         """
-        if self._ranks is None or len(self._ranks) != len(self._values):
+        n = len(self._values)
+        if self._ranks is not None and len(self._ranks) == n:
+            return self._ranks
+        n_old = 0 if self._sorted_codes is None else len(self._sorted_codes)
+        k = n - n_old
+        if 0 < k <= max(n_old // 10, 1024) and n_old > 0:
+            new_vals = self._values[n_old:]
+            new_order = _lex_argsort(new_vals)
+            new_sorted_vals = np.array(
+                [new_vals[i] for i in new_order], dtype=object
+            )
+            new_codes = (n_old + new_order).astype(np.int64)
+            ins = np.searchsorted(self._sorted_vals, new_sorted_vals)
+            self._sorted_codes = np.insert(self._sorted_codes, ins, new_codes)
+            self._sorted_vals = np.insert(
+                self._sorted_vals, ins, new_sorted_vals
+            )
+        else:
             order = _lex_argsort(self._values)
-            ranks = np.empty(len(self._values), dtype=np.int64)
-            ranks[order] = np.arange(len(self._values), dtype=np.int64)
-            self._ranks = ranks
+            self._sorted_codes = order.astype(np.int64)
+            self._sorted_vals = np.array(self._values, dtype=object)[
+                self._sorted_codes
+            ]
+        ranks = np.empty(n, dtype=np.int64)
+        ranks[self._sorted_codes] = np.arange(n, dtype=np.int64)
+        self._ranks = ranks
         return self._ranks
 
     def match_table(self, key, fn, dtype=np.bool_) -> np.ndarray:
