@@ -537,12 +537,15 @@ class Binder:
                 )
             view = self.db.catalog.try_view(ref.name)
             if view is not None:
+                # views bind against CATALOG scope, not the use site's WITH
+                # scope — a caller's CTE must not capture table names inside
+                # a stored view body
                 return self._bind_view_body(
                     ref.alias or ref.name,
                     view.column_names,
                     view.query,
                     ctx,
-                    self.ctes,
+                    {},
                 )
         tidx = self.next_index()
         if ref.args is None and not ref.named_args:

@@ -336,19 +336,29 @@ class Executor:
                 return DeviceBatch(out_schema, left.columns, left.num_rows)
             return left.slice(0, 0)
         if not op.on:
-            raise ExecutorError(
-                "semi/anti join requires at least one equi condition"
-            )
+            # uncorrelated EXISTS / NOT EXISTS: no equi keys — the inner side
+            # is non-empty (the empty case returned above), so EXISTS keeps
+            # every left row and NOT EXISTS keeps none
+            if op.filter is not None:
+                raise ExecutorError(
+                    "semi/anti join with a residual filter requires at least "
+                    "one equi condition"
+                )
+            if op.join_type == "semi":
+                return DeviceBatch(out_schema, left.columns, left.num_rows)
+            return left.slice(0, 0)
         left_keys = execute_exprs_fused([l for l, _ in op.on], left)
         right_keys = execute_exprs_fused([r for _, r in op.on], right)
-        if op.null_aware and op.join_type == "anti":
-            # NOT IN: any NULL on the inner side ⇒ no row can be proven
-            # absent ⇒ empty result (the reference has no NOT IN; semantics
-            # per SQL spec / DuckDB behavior)
-            any_null = False
-            for c in right_keys:
-                any_null = any_null or bool(jnp.any(jnp.logical_not(c.valid)))
-            if any_null:
+        correlated = len(op.on) > 1 or op.filter is not None
+        if (
+            op.null_aware
+            and op.join_type == "anti"
+            and not correlated
+        ):
+            # uncorrelated NOT IN: any NULL inner VALUE ⇒ no row can be
+            # proven absent ⇒ empty result (the reference has no NOT IN;
+            # semantics per SQL spec / DuckDB behavior)
+            if bool(jnp.any(jnp.logical_not(right_keys[0].valid))):
                 return left.slice(0, 0)
         l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
         if op.filter is not None and len(l_idx):
@@ -363,14 +373,54 @@ class Executor:
         )
         keep_mask = matched if op.join_type == "semi" else jnp.logical_not(matched)
         if op.null_aware and op.join_type == "anti":
-            # NULL probe values never pass NOT IN when the inner side is
-            # non-empty
-            for c in left_keys:
-                keep_mask = keep_mask & c.valid
+            if correlated:
+                # three-valued NOT IN per correlated group: x NOT IN S(l) is
+                # UNKNOWN (row dropped) iff S(l) is non-empty AND (x IS NULL
+                # or S(l) contains a NULL value); S(l) empty keeps the row,
+                # even for NULL x. op.on[0] is the IN-value pair, op.on[1:]
+                # the correlation keys (binder _bind_in_subquery layout).
+                nonempty, has_null = self._correlated_group_info(
+                    op, left, right, left_keys, right_keys
+                )
+                x_null = jnp.logical_not(left_keys[0].valid)
+                unknown = nonempty & (x_null | has_null)
+                keep_mask = keep_mask & jnp.logical_not(unknown)
+            else:
+                # NULL probe values never pass NOT IN when the inner side is
+                # non-empty
+                keep_mask = keep_mask & left_keys[0].valid
         keep_col = Column(LogicalType.BOOLEAN, keep_mask, jnp.ones(nl, jnp.bool_))
         n_keep = int(jnp.sum(keep_mask))
         out = left.take(compact_indices(keep_col, n_keep))
         return DeviceBatch(out_schema, out.columns, out.num_rows)
+
+    def _correlated_group_info(self, op, left, right, left_keys, right_keys):
+        """Per-left-row info about the CORRELATED inner subset for null-aware
+        NOT IN: (group_nonempty, group_has_null_value) bool masks. The group
+        is defined by the correlation keys (op.on[1:]) plus the residual
+        filter — NOT the IN-value comparison itself."""
+        corr_l, corr_r = left_keys[1:], right_keys[1:]
+        nl, nr = left.num_rows, right.num_rows
+        if corr_l:
+            gl, gr = equi_join_pairs(corr_l, corr_r)
+            gl, gr = jnp.asarray(gl), jnp.asarray(gr)
+        else:
+            # correlation lives only in the residual filter: every (l, r)
+            # candidate pair (rare shape; sizes here are subquery-bounded)
+            gl = jnp.repeat(jnp.arange(nl, dtype=jnp.int64), nr)
+            gr = jnp.tile(jnp.arange(nr, dtype=jnp.int64), nl)
+        if op.filter is not None and len(gl):
+            keep = _eval_residual_on_pairs(op.filter, left, right, gl, gr)
+            cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
+            sel = compact_indices(keep, cnt)
+            gl, gr = gl[sel], gr[sel]
+        nonempty = jnp.zeros((nl,), jnp.bool_)
+        has_null = jnp.zeros((nl,), jnp.bool_)
+        if len(gl):
+            nonempty = nonempty.at[gl].set(True)
+            r_val_null = jnp.logical_not(right_keys[0].valid)
+            has_null = has_null.at[gl].max(r_val_null[gr])
+        return nonempty, has_null
 
     def _exec_HashJoin(self, op: P.PhysicalHashJoin) -> DeviceBatch:
         if op.join_type in ("semi", "anti"):

@@ -307,27 +307,26 @@ def substring_column(col: Column, start: int, length=None) -> Column:
 
 
 def concat_columns(left: Column, right: Column) -> Column:
-    """VARCHAR || VARCHAR. Distinct (l,r) code pairs are mapped on host —
-    O(distinct pairs); fine for dimension-sized columns, not for fact-table
-    cartesian variety."""
+    """VARCHAR || VARCHAR. Host work is O(distinct (l,r) pairs): one
+    np.unique over a packed int64 pair key dedups, each distinct pair is
+    interned once, and ONE device gather maps codes back (mirroring
+    _code_map_column — the per-row Python loop this replaces stalled on
+    fact-table inputs)."""
     from sqlrs_tpu.data.strings import GLOBAL_STRINGS, NULL_CODE
 
     d = GLOBAL_STRINGS
-    lc = np.asarray(left.data)
-    rc = np.asarray(right.data)
+    lc = np.asarray(left.data).astype(np.int64)
+    rc = np.asarray(right.data).astype(np.int64)
     valid = np.asarray(left.valid) & np.asarray(right.valid)
-    pairs = {}
-    out = np.full(len(lc), NULL_CODE, np.int32)
-    for i in np.nonzero(valid)[0]:
-        key = (int(lc[i]), int(rc[i]))
-        code = pairs.get(key)
-        if code is None:
-            code = d.intern(d.lookup(key[0]) + d.lookup(key[1]))
-            pairs[key] = code
-        out[i] = code
-    return Column(
-        LogicalType.VARCHAR, jnp.asarray(out), jnp.asarray(valid)
-    )
+    packed = np.where(valid, (lc << 32) | (rc & 0xFFFFFFFF), -1)
+    uniq, inv = np.unique(packed, return_inverse=True)
+    table = np.full(len(uniq), NULL_CODE, np.int32)
+    for i, p in enumerate(uniq):
+        if p < 0:
+            continue
+        table[i] = d.intern(d.lookup(int(p >> 32)) + d.lookup(int(p & 0xFFFFFFFF)))
+    out = jnp.asarray(table)[jnp.asarray(inv.astype(np.int64))]
+    return Column(LogicalType.VARCHAR, out, jnp.asarray(valid))
 
 
 # ---- EXTRACT -------------------------------------------------------------------

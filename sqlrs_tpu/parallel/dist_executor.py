@@ -590,10 +590,17 @@ class DistributedExecutor:
         lk, lv = orderable_key(l_col)
         rk, rv = orderable_key(r_col)
         big = jnp.iinfo(rk.dtype).max
-        r_sorted = jnp.sort(jnp.where(rv, rk, big))  # invalid keys sort last
+        # validity rides the sort as a secondary key (invalid entries map to
+        # the max sentinel AND sort after equal-valued valid entries), so a
+        # legitimate key equal to dtype-max still matches: the searchsorted
+        # hit position always lands on a VALID entry if one exists
+        invalid_flag = jnp.logical_not(rv).astype(jnp.int32)
+        r_sorted, flag_sorted = jax.lax.sort(
+            (jnp.where(rv, rk, big), invalid_flag), num_keys=2
+        )
         m = r_sorted.shape[0]
         pos = jnp.clip(jnp.searchsorted(r_sorted, lk), 0, m - 1)
-        matched = lv & (r_sorted[pos] == lk) & (lk != big)
+        matched = lv & (r_sorted[pos] == lk) & (flag_sorted[pos] == 0)
         keep = jnp.logical_not(matched) if anti else matched
         if op.null_aware and anti:
             keep = keep & lv  # NULL probe never passes NOT IN (inner non-empty)

@@ -249,6 +249,100 @@ def test_semi_anti_randomized_differential(seed):
     assert got == exp
 
 
+def test_uncorrelated_exists(db):
+    # uncorrelated EXISTS / NOT EXISTS: no equi keys at all
+    assert db.run_lines(
+        "select okey from o where exists (select 1 from l)"
+    ) == ["1", "2", "3", "4"]
+    assert db.run_lines(
+        "select okey from o where not exists (select 1 from l)"
+    ) == []
+    assert db.run_lines(
+        "select okey from o where exists (select 1 from l where qty > 100)"
+    ) == []
+    assert db.run_lines(
+        "select okey from o where not exists (select 1 from l where qty > 100)"
+    ) == ["1", "2", "3", "4"]
+
+
+def test_correlated_not_in_three_valued():
+    """Correlated NOT IN: NULL handling is per correlated GROUP, not global
+    (x NOT IN S(l) with S(l) empty is TRUE even for NULL x; a NULL value in
+    one group must not empty other groups)."""
+    db = sqlrs_tpu.Database()
+    db.run("create table t1(x int, k int)")
+    db.run("create table t2(y int, k int)")
+    db.run("insert into t1 values (1,1),(3,1),(10,1),(3,2),(7,9)")
+    db.run("insert into t2 values (10,1),(11,1),(3,2),(null,2)")
+    # k=1 group: {10,11} -> 1,3 kept, 10 dropped; k=2 group: {3,NULL} -> 3
+    # dropped (matched); k=9 group empty -> 7 kept
+    assert db.run_lines(
+        "select x from t1 where x not in (select y from t2 where t2.k = t1.k)"
+    ) == ["1", "3", "7"]
+    # NULL probe: empty correlated group keeps the row, non-empty drops it
+    db.run("insert into t1 values (null, 1), (null, 9)")
+    assert db.run_lines(
+        "select k from t1 where x not in (select y from t2 where t2.k = t1.k)"
+    ) == ["1", "1", "9", "9"]
+    # a NULL y inside the matching group makes that group's rows UNKNOWN
+    assert db.run_lines(
+        "select x from t1 where k = 2 and "
+        "x not in (select y from t2 where t2.k = t1.k and y is not null)"
+    ) == []  # 3 matches {3}
+    db.run("insert into t1 values (99, 2)")
+    assert db.run_lines(
+        "select x from t1 where k = 2 and "
+        "x not in (select y from t2 where t2.k = t1.k)"
+    ) == []  # group {3, NULL}: 3 matched, 99 unknown
+
+
+def test_correlated_not_in_oracle():
+    """Randomized correlated NOT IN vs a row-at-a-time oracle."""
+    rng = np.random.default_rng(11)
+    n1, n2 = 120, 90
+    x = rng.integers(0, 8, n1)
+    k1 = rng.integers(0, 5, n1)
+    xn = rng.random(n1) < 0.15
+    y = rng.integers(0, 8, n2)
+    k2 = rng.integers(0, 5, n2)
+    yn = rng.random(n2) < 0.1
+    db = sqlrs_tpu.Database()
+    db.run("create table t1(x int, k int, pos int)")
+    db.run("create table t2(y int, k int)")
+    db.run("insert into t1 values " + ",".join(
+        f"({'null' if xn[i] else int(x[i])},{int(k1[i])},{i})" for i in range(n1)))
+    db.run("insert into t2 values " + ",".join(
+        f"({'null' if yn[i] else int(y[i])},{int(k2[i])})" for i in range(n2)))
+    exp = []
+    for i in range(n1):
+        group = [(None if yn[j] else int(y[j])) for j in range(n2) if k2[j] == k1[i]]
+        if not group:
+            exp.append(str(i))  # NOT IN over empty set is TRUE
+            continue
+        if xn[i] or None in group:
+            continue  # UNKNOWN
+        if int(x[i]) not in group:
+            exp.append(str(i))
+    got = db.run_lines(
+        "select pos from t1 where x not in (select y from t2 where t2.k = t1.k)")
+    assert got == exp
+
+
+def test_view_does_not_capture_use_site_cte():
+    db = sqlrs_tpu.Database()
+    db.run("create table base(a int)")
+    db.run("insert into base values (1),(2)")
+    db.run("create view v as select a from base")
+    # the use site's CTE named `base` must NOT leak into the view body
+    assert db.run_lines(
+        "with base(a) as (select 99) select a from v order by a"
+    ) == ["1", "2"]
+    # but the CTE itself still resolves where referenced directly
+    assert db.run_lines(
+        "with base(a) as (select 99) select a from base"
+    ) == ["99"]
+
+
 def test_correlation_edge_cases():
     """Combined/nested correlation shapes beyond the TPC-H set."""
     db = sqlrs_tpu.Database()
