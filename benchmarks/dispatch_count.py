@@ -1,0 +1,150 @@
+"""Dispatch-count profiler: how many device round-trips does a query cost?
+
+Over the axon relay every dispatch (eager primitive, jitted-program
+execution, host fetch) pays ~28 ms RTT (CLAUDE.md), so TPC-H latency is
+dominated by DISPATCH COUNT, not device time. This tool counts them on CPU —
+the counts are platform-independent.
+
+Methodology: the C++ pjit fast path is disabled BEFORE the warm run (so
+traces are Python-cached and steady-state calls re-enter
+_run_python_pjit exactly once per executed program), then the steady run is
+counted. Trace-time constant folding therefore does not pollute the counts.
+
+Usage:
+  JAX_PLATFORMS=cpu python -m benchmarks.dispatch_count --sf 0.01 --queries 1,18
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import traceback
+
+
+class DispatchCounter:
+    def __init__(self) -> None:
+        self.eager = collections.Counter()   # primitive name -> count
+        self.jit = collections.Counter()     # jitted fn name -> count
+        self.fetch = 0                        # device->host materializations
+        self._stack_samples = collections.Counter()
+        self.sample_stacks = False
+        self.active = False
+
+    def total(self) -> int:
+        return sum(self.eager.values()) + sum(self.jit.values()) + self.fetch
+
+    def reset(self) -> None:
+        self.eager.clear()
+        self.jit.clear()
+        self.fetch = 0
+        self._stack_samples.clear()
+
+    def report(self, top: int = 18) -> str:
+        lines = [
+            f"total dispatches: {self.total()} "
+            f"(eager {sum(self.eager.values())}, jit {sum(self.jit.values())}, "
+            f"fetch {self.fetch})"
+        ]
+        for name, cnt in self.eager.most_common(top):
+            lines.append(f"  eager {name:30s} {cnt}")
+        for name, cnt in self.jit.most_common(top):
+            lines.append(f"  jit   {name:30s} {cnt}")
+        if self._stack_samples:
+            lines.append("--- hottest call sites ---")
+            for site, cnt in self._stack_samples.most_common(14):
+                lines.append(f"  {cnt:5d}  {site}")
+        return "\n".join(lines)
+
+
+def install(counter: DispatchCounter) -> None:
+    """Install the hooks process-wide (call before ANY jax execution)."""
+    import jax._src.dispatch as dispatch
+    import jax._src.pjit as pjit_mod
+    from jax._src import array as array_mod
+
+    orig_apply = dispatch.apply_primitive
+    orig_run = pjit_mod._run_python_pjit
+    orig_np = array_mod.ArrayImpl.__array__
+    pjit_mod._get_fastpath_data = lambda *a, **k: None
+
+    def _site(tag):
+        frames = []
+        for fr in reversed(traceback.extract_stack(limit=30)):
+            if "dispatch_count" in fr.filename:
+                continue
+            if "sqlrs_tpu" in fr.filename or "/benchmarks/" in fr.filename:
+                frames.append(f"{fr.filename.split('/')[-1]}:{fr.lineno}")
+                if len(frames) == 3:
+                    break
+        if frames:
+            counter._stack_samples[f"{tag}@" + " < ".join(frames)] += 1
+
+    def apply_primitive(prim, *args, **kw):
+        if counter.active:
+            counter.eager[prim.name] += 1
+            if counter.sample_stacks:
+                _site("eager")
+        return orig_apply(prim, *args, **kw)
+
+    def run_python_pjit(p, args_flat, fun, *rest, **kw):
+        if counter.active:
+            counter.jit[getattr(fun, "__name__", "<jit>")] += 1
+            if counter.sample_stacks:
+                _site("jit")
+        return orig_run(p, args_flat, fun, *rest, **kw)
+
+    def np_hook(self, *a, **kw):
+        if counter.active:
+            counter.fetch += 1
+            if counter.sample_stacks:
+                _site("fetch")
+        return orig_np(self, *a, **kw)
+
+    dispatch.apply_primitive = apply_primitive
+    pjit_mod._run_python_pjit = run_python_pjit
+    array_mod.ArrayImpl.__array__ = np_hook
+
+
+def main() -> None:
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.01)
+    ap.add_argument("--queries", type=str, default="1")
+    ap.add_argument("--stacks", action="store_true",
+                    help="sample call sites of dispatches")
+    args = ap.parse_args()
+
+    counter = DispatchCounter()
+    install(counter)
+
+    import sqlrs_tpu
+    from benchmarks import tpch_dbgen
+    from benchmarks.tpch import run_query
+
+    tables = tpch_dbgen.gen_tables(args.sf, seed=0)
+    db = sqlrs_tpu.Database()
+    tpch_dbgen.load_into(db, tables)
+    qs = [int(x) for x in args.queries.split(",")]
+    total = 0
+    for qn in qs:
+        run_query(db, qn)  # warm: trace caches, interning
+        counter.reset()
+        counter.sample_stacks = args.stacks
+        counter.active = True
+        run_query(db, qn)
+        counter.active = False
+        print(f"=== Q{qn} (steady) ===")
+        print(counter.report())
+        total += counter.total()
+    if len(qs) > 1:
+        print(f"=== ALL: {total} dispatches over {len(qs)} queries ===")
+
+
+if __name__ == "__main__":
+    main()

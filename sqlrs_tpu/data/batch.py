@@ -194,24 +194,52 @@ class DeviceBatch:
             raise TypeError_("concat of zero batches")
         if len(batches) == 1:
             return batches[0]
+        from sqlrs_tpu.ops.fused import concat_arrays
+
         schema = batches[0].schema
-        cols = []
-        for ci in range(len(schema)):
-            data = jnp.concatenate([b.columns[ci].data for b in batches])
-            valid = jnp.concatenate([b.columns[ci].valid for b in batches])
-            cols.append(Column(schema.fields[ci].type, data, valid))
+        flat = concat_arrays(
+            [
+                tuple(a for c in b.columns for a in (c.data, c.valid))
+                for b in batches
+            ]
+        )
+        cols = [
+            Column(f.type, flat[2 * ci], flat[2 * ci + 1])
+            for ci, f in enumerate(schema.fields)
+        ]
         return DeviceBatch(schema, cols)
 
     def take(self, indices) -> "DeviceBatch":
+        """Gather rows by index: ONE dispatched program for the whole batch
+        (per-column eager gathers cost ~8 dispatches each)."""
+        if not self.columns:
+            idx = jnp.asarray(indices)
+            return DeviceBatch(self.schema, [], int(idx.shape[0]))
+        from sqlrs_tpu.ops.fused import gather_arrays
+
         idx = jnp.asarray(indices)
-        return DeviceBatch(
-            self.schema, [c.take(idx) for c in self.columns], int(idx.shape[0])
+        flat = gather_arrays(
+            tuple(a for c in self.columns for a in (c.data, c.valid)), idx
         )
+        cols = [
+            Column(c.type, flat[2 * ci], flat[2 * ci + 1])
+            for ci, c in enumerate(self.columns)
+        ]
+        return DeviceBatch(self.schema, cols, int(idx.shape[0]))
 
     def slice(self, start: int, length: int) -> "DeviceBatch":
+        if not self.columns:
+            return DeviceBatch(self.schema, [], length)
+        from sqlrs_tpu.ops.fused import slice_arrays
+
+        flat = slice_arrays(
+            tuple(a for c in self.columns for a in (c.data, c.valid)),
+            int(start),
+            int(length),
+        )
         cols = [
-            Column(c.type, c.data[start : start + length], c.valid[start : start + length])
-            for c in self.columns
+            Column(c.type, flat[2 * ci], flat[2 * ci + 1])
+            for ci, c in enumerate(self.columns)
         ]
         return DeviceBatch(self.schema, cols, length)
 

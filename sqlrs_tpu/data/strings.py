@@ -285,6 +285,20 @@ class StringDictionary:
         self._ranks = ranks
         return self._ranks
 
+    def ranks_device(self):
+        """Device-resident rank table, cached by dictionary version — callers
+        used to jnp.asarray(ranks()) per use, re-transferring the whole table
+        (one relay RTT + bytes) every sort/compare."""
+        import jax.numpy as jnp
+
+        r = self.ranks()
+        cached = getattr(self, "_ranks_dev", None)
+        if cached is not None and cached.shape[0] == len(r):
+            return cached
+        dev = jnp.asarray(r)
+        self._ranks_dev = dev
+        return dev
+
     def match_table(self, key, fn, dtype=np.bool_) -> np.ndarray:
         """Memoized per-code table for a string predicate/transform (LIKE
         match bits, substring target codes, ...). Costs O(new entries) per

@@ -67,71 +67,20 @@ def sorted_grouped_aggregate(
             0,
         )
 
-    # ---- operand assembly (host) -----------------------------------------
+    # ---- layout planning (host-static; arithmetic happens inside the jit) --
     # SMALL keys (VARCHAR lex ranks and BOOLEANs — their bit widths are
     # host-known) pack, WITH their validity bits, into shared int64 composite
     # sort operands. Multi-key comparators dominate XLA TPU sort COMPILE
     # time (measured ~6x: 114s for 5 keys vs 18s for 1 key over the same 15
     # operands), so collapsing num_keys pays at compile and at run time.
     from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+    from sqlrs_tpu.ops.sort import key_kind
 
-    sort_keys: list = []
-    key_layout: list = []  # per key: ("small", op, shift, bits) | ("plain", op)
-    acc = None  # current composite (array, bits_used)
     rank_bits = max(len(GLOBAL_STRINGS).bit_length(), 1)
     has_alive = alive is not None
-    if has_alive:
-        sort_keys.append(jnp.logical_not(alive).astype(jnp.int32))
-
-    def _flush():
-        nonlocal acc
-        if acc is not None:
-            sort_keys.append(acc[0])
-            acc = None
-
-    for c in key_cols:
-        key, valid = orderable_key(c)
-        if c.type == LogicalType.VARCHAR:
-            bits = rank_bits
-        elif c.type == LogicalType.BOOLEAN:
-            bits = 1
-        else:
-            bits = None
-        if bits is None or bits + 1 > 62:
-            _flush()
-            key_layout.append(("plain", len(sort_keys), 0, 0))
-            sort_keys.append(valid.astype(jnp.int32))
-            sort_keys.append(jnp.where(valid, key, 0))
-            continue
-        unit = (valid.astype(jnp.int64) << bits) | jnp.where(
-            valid, key.astype(jnp.int64), 0
-        )
-        if acc is not None and acc[1] + bits + 1 <= 62:
-            arr = (acc[0] << (bits + 1)) | unit
-            # earlier fields already shifted: update their recorded shifts
-            for i, lay in enumerate(key_layout):
-                if lay[0] == "small" and lay[1] == len(sort_keys):
-                    key_layout[i] = ("small", lay[1], lay[2] + bits + 1, lay[3])
-            acc = (arr, acc[1] + bits + 1)
-        else:
-            _flush()
-            acc = (unit, bits + 1)
-        key_layout.append(("small", len(sort_keys), 0, bits))
-    _flush()
-    num_keys = len(sort_keys)
-    # the row index rides as the LEAST-SIGNIFICANT SORT KEY, so each run's
-    # first sorted row is its first-appearance representative — no segmented
-    # min scan needed (associative_scan unrolls log2(N) HLO stages and
-    # dominated compile time)
-    payloads: list = [jnp.arange(n, dtype=jnp.int32)]
-    if has_alive:
-        payloads.append(alive.astype(jnp.int32))
-    for c in key_cols:
-        # non-VARCHAR key values are reconstructed from the sort key fields
-        # themselves (orderable encoding is invertible); only dictionary
-        # codes need a dedicated payload
-        if c.type == LogicalType.VARCHAR:
-            payloads.append(c.data)
+    key_layout, num_keys = _plan_key_layout(
+        [c.type for c in key_cols], rank_bits, has_alive
+    )
 
     # each DISTINCT aggregate input column rides the sort once, shared by
     # every aggregate over it (sum(v), count(v), min(v), max(v) -> one
@@ -153,14 +102,6 @@ def sorted_grouped_aggregate(
         agg_slots.append(slot_of[ident])
         if col.type == LogicalType.VARCHAR and name in ("min", "max"):
             slot_packed[slot_of[ident]] = True
-    for col, packed in zip(slot_cols, slot_packed):
-        if packed:
-            rank, _ = orderable_key(col)
-            code_u = col.data.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
-            payloads.append((rank.astype(jnp.int64) << 32) | code_u)
-        else:
-            payloads.append(_sortable(col.data))
-        payloads.append(col.valid.astype(jnp.int32))
 
     spec = (
         tuple(
@@ -174,8 +115,26 @@ def sorted_grouped_aggregate(
         has_alive,
     )
 
+    rank = None
+    needs_rank = any(c.type == LogicalType.VARCHAR for c in key_cols) or any(
+        c.type == LogicalType.VARCHAR and p
+        for c, p in zip(slot_cols, slot_packed)
+    )
+    if needs_rank:
+        r = GLOBAL_STRINGS.ranks_device()
+        rank = r if r.shape[0] > 0 else None
+
     out, new_run, rid, n_runs = _agg_phase1(
-        tuple(sort_keys + payloads), num_keys, has_alive
+        tuple(c.data for c in key_cols),
+        tuple(c.valid for c in key_cols),
+        rank,
+        tuple(c.data for c in slot_cols),
+        tuple(c.valid for c in slot_cols),
+        alive,
+        tuple(key_kind(c.type) for c in key_cols),
+        tuple(key_layout),
+        tuple(slot_packed),
+        rank_bits,
     )
     n_groups = int(n_runs)  # pipeline-breaker sync
     r_cap = next_pow2(max(n_groups, 8))
@@ -184,28 +143,144 @@ def sorted_grouped_aggregate(
         out, new_run, rid, n_runs, num_keys, spec, r_cap
     )
 
+    # slice every output to n_groups in ONE dispatch (eager per-column
+    # slicing cost 2 relay RTTs per column)
+    from sqlrs_tpu.ops.fused import slice_arrays
+
+    flat = slice_arrays(tuple(gdata + gvalid + adata + avalid), 0, n_groups)
+    nk, na = len(gdata), len(adata)
+    gdata, gvalid = flat[:nk], flat[nk : 2 * nk]
+    adata, avalid = flat[2 * nk : 2 * nk + na], flat[2 * nk + na :]
     group_cols = [
-        Column(c.type, d[:n_groups], v[:n_groups])
-        for c, d, v in zip(key_cols, gdata, gvalid)
+        Column(c.type, d, v) for c, d, v in zip(key_cols, gdata, gvalid)
     ]
     agg_cols = [
-        Column(rt, d[:n_groups], v[:n_groups])
+        Column(rt, d, v)
         for (_, _, rt), d, v in zip(agg_specs, adata, avalid)
     ]
     return group_cols, agg_cols, n_groups
 
 
+def _plan_key_layout(key_types, rank_bits: int, has_alive: bool):
+    """Host-static sort-operand layout: per key ("small", op_i, shift, bits)
+    for bit-packed composite members or ("plain", op_i, 0, 0) for dedicated
+    (valid, key) operand pairs. op_i is the absolute sort-operand index
+    (operand 0 is the dead flag when has_alive)."""
+    layout: list = []
+    n_ops = 1 if has_alive else 0
+    acc_bits = None  # bits used in the currently-open composite
+    for t in key_types:
+        if t == LogicalType.VARCHAR:
+            bits = rank_bits
+        elif t == LogicalType.BOOLEAN:
+            bits = 1
+        else:
+            bits = None
+        if bits is None or bits + 1 > 62:
+            if acc_bits is not None:
+                n_ops += 1
+                acc_bits = None
+            layout.append(("plain", n_ops, 0, 0))
+            n_ops += 2
+            continue
+        if acc_bits is not None and acc_bits + bits + 1 <= 62:
+            for i, lay in enumerate(layout):
+                if lay[0] == "small" and lay[1] == n_ops:
+                    layout[i] = ("small", lay[1], lay[2] + bits + 1, lay[3])
+            acc_bits += bits + 1
+        else:
+            if acc_bits is not None:
+                n_ops += 1
+            acc_bits = bits + 1
+        layout.append(("small", n_ops, 0, bits))
+    if acc_bits is not None:
+        n_ops += 1
+    return layout, n_ops
+
+
 _BLK = 128
 
 
-@partial(jax.jit, static_argnames=("num_keys", "has_alive"))
-def _agg_phase1(ops, num_keys: int, has_alive: bool = False):
-    """Variadic sort + run-boundary detection; returns the sorted operands,
+@partial(
+    jax.jit,
+    static_argnames=("kinds", "layout", "slot_packed", "rank_bits"),
+)
+def _agg_phase1(
+    kdatas,
+    kvalids,
+    rank,
+    sdatas,
+    svalids,
+    alive,
+    kinds,
+    layout,
+    slot_packed,
+    rank_bits: int,
+):
+    """Operand assembly (key encoding, composite bit-packing, payload
+    building) + variadic sort + run-boundary detection, ONE dispatched
+    program. Returns the sorted operands in the layout _agg_phase2 expects,
     the run-start mask, run ids, and the run count (device scalar). The row
     index (first payload) participates as the least-significant sort key —
-    run boundaries are computed over the true key fields only. With
-    has_alive, a leading dead-flag key sends masked rows to the end and they
-    never open runs."""
+    run boundaries are computed over the true key fields only. With alive,
+    a leading dead-flag key sends masked rows to the end and they never
+    open runs.
+
+    The assembly used to run eagerly on the host driver: each shift/where/
+    rank-gather was its own dispatch (~28 ms relay RTT), costing a GROUP BY
+    ~40 round trips before the sort launched."""
+    from sqlrs_tpu.ops.sort import _encode_traced
+
+    n = kdatas[0].shape[0] if kdatas else sdatas[0].shape[0]
+    has_alive = alive is not None
+    sort_keys: list = []
+    if has_alive:
+        sort_keys.append(jnp.logical_not(alive).astype(jnp.int32))
+    acc = None  # open composite value (bit budget tracked by `layout`)
+    for data, valid, kind, lay in zip(kdatas, kvalids, kinds, layout):
+        key = _encode_traced(kind, data, rank)
+        tag, op_i, shift, bits = lay
+        if tag == "plain":
+            if acc is not None:
+                sort_keys.append(acc)
+                acc = None
+            sort_keys.append(valid.astype(jnp.int32))
+            sort_keys.append(jnp.where(valid, key, 0))
+            continue
+        unit = (valid.astype(jnp.int64) << bits) | jnp.where(
+            valid, key.astype(jnp.int64), 0
+        )
+        if acc is not None and op_i == len(sort_keys):
+            acc = (acc << (bits + 1)) | unit
+        else:
+            if acc is not None:
+                sort_keys.append(acc)
+            acc = unit
+    if acc is not None:
+        sort_keys.append(acc)
+    num_keys = len(sort_keys)
+
+    # the row index rides as the LEAST-SIGNIFICANT SORT KEY, so each run's
+    # first sorted row is its first-appearance representative
+    payloads: list = [jnp.arange(n, dtype=jnp.int32)]
+    if has_alive:
+        payloads.append(alive.astype(jnp.int32))
+    for data, kind in zip(kdatas, kinds):
+        # non-VARCHAR key values are reconstructed from the sort key fields
+        # themselves (orderable encoding is invertible); only dictionary
+        # codes need a dedicated payload
+        if kind == "varchar":
+            payloads.append(data)
+    for data, valid, packed in zip(sdatas, svalids, slot_packed):
+        if packed:
+            rk = _encode_traced("varchar", data, rank)
+            code_u = data.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+            payloads.append((rk.astype(jnp.int64) << 32) | code_u)
+        else:
+            payloads.append(_sortable(data))
+        payloads.append(valid.astype(jnp.int32))
+
+    ops = sort_keys + payloads
     out = lax.sort(tuple(ops), num_keys=num_keys + 1)
     n = out[0].shape[0]
     new_run = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
