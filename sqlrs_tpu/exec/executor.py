@@ -148,6 +148,16 @@ class Executor:
                 return src, jnp.logical_and(keep.data, keep.valid)
         return self.execute(child_op), None
 
+    @staticmethod
+    def _distinct_on_sorted_path(op) -> bool:
+        """DISTINCT aggregates ride the sorted-run path when grouped and all
+        distinct aggs share ONE argument expression (the common SQL shape,
+        e.g. Q16's count(distinct ps_suppkey))."""
+        d_args = {repr(a.arg) for a in op.aggregates if a.distinct}
+        if not d_args:
+            return True
+        return bool(getattr(op, "groups", None)) and len(d_args) == 1
+
     def _fusable_filter_input(self, op):
         """Filter directly under an aggregate fuses as an alive-mask: the
         aggregate excludes masked rows itself, skipping the compaction
@@ -155,7 +165,7 @@ class Executor:
         child_op = op.children[0]
         if (
             isinstance(child_op, P.PhysicalFilter)
-            and not any(a.distinct for a in op.aggregates)
+            and self._distinct_on_sorted_path(op)
         ):
             src = self.execute(child_op.children[0])
             if src.num_rows > 0:
@@ -186,9 +196,11 @@ class Executor:
                 for a in aggs
             ]
             return DeviceBatch(_schema(op), out_cols, 1)
-        if groups and not any(a.distinct for a in aggs):
+        if groups and self._distinct_on_sorted_path(op):
             # sorted-run fast path: one variadic sort, no N-sized scatters
-            # (ops/grouped_agg.py; DISTINCT aggs use the legacy dedup path)
+            # (ops/grouped_agg.py; DISTINCT aggs sharing one argument ride
+            # the same sort with a value key — multi-argument DISTINCT
+            # falls to the legacy dedup path below)
             from sqlrs_tpu.ops.grouped_agg import sorted_grouped_aggregate
 
             distinct_args: list = []
@@ -205,7 +217,7 @@ class Executor:
                 col = None
                 if a.arg is not None:
                     col = arg_cols[arg_keys[repr(a.arg)]]
-                specs.append((a.function_name, col, a.return_type()))
+                specs.append((a.function_name, col, a.return_type(), a.distinct))
             gcols, acols, n_groups = sorted_grouped_aggregate(
                 key_cols, specs, alive=alive
             )

@@ -38,12 +38,19 @@ from sqlrs_tpu.types import LogicalType, numpy_dtype_for
 
 def sorted_grouped_aggregate(
     key_cols: list[Column],
-    agg_specs: list[tuple[str, Optional[Column], LogicalType]],
+    agg_specs: list[tuple],
     alive=None,
 ):
     """agg_specs: (function_name, input column or None for count(*),
-    result logical type). Returns (group_cols, agg_cols, n_groups) with
-    groups in first-appearance order. No DISTINCT here (caller gates).
+    result logical type[, distinct]). Returns (group_cols, agg_cols,
+    n_groups) with groups in first-appearance order.
+
+    DISTINCT aggregates ride the SAME two-jit-phase structure: the (single,
+    shared) distinct argument column becomes an extra value sort key after
+    the group keys, and phase 2 counts/sums contributions only at
+    (group, value) pair boundaries. Multiple distinct aggs must share one
+    argument column (raises ValueError otherwise — callers fall back to the
+    legacy dedup path).
 
     `alive` (optional bool array) excludes rows WITHOUT compacting first —
     the fused Filter→GROUP BY path: dead rows ride a leading dead-flag sort
@@ -61,8 +68,8 @@ def sorted_grouped_aggregate(
         return (
             [Column.from_numpy(c.type, np.zeros(0, numpy_dtype_for(c.type))) for c in key_cols],
             [
-                Column.from_numpy(t, np.zeros(0, numpy_dtype_for(t)))
-                for _, _, t in agg_specs
+                Column.from_numpy(s[2], np.zeros(0, numpy_dtype_for(s[2])))
+                for s in agg_specs
             ],
             0,
         )
@@ -86,11 +93,16 @@ def sorted_grouped_aggregate(
     # every aggregate over it (sum(v), count(v), min(v), max(v) -> one
     # payload pair, one valid-count downstream). VARCHAR columns used by any
     # min/max ride as ONE packed (rank << 32 | code) operand.
+    specs4 = [
+        (s[0], s[1], s[2], bool(s[3]) if len(s) > 3 else False)
+        for s in agg_specs
+    ]
     slot_of: dict[int, int] = {}
     slot_cols: list = []
     slot_packed: list = []
     agg_slots: list = []
-    for name, col, _ in agg_specs:
+    distinct_slot = -1
+    for name, col, _, distinct in specs4:
         if col is None:
             agg_slots.append(None)
             continue
@@ -102,14 +114,21 @@ def sorted_grouped_aggregate(
         agg_slots.append(slot_of[ident])
         if col.type == LogicalType.VARCHAR and name in ("min", "max"):
             slot_packed[slot_of[ident]] = True
+        if distinct and name in ("sum", "avg", "count"):
+            if distinct_slot not in (-1, slot_of[ident]):
+                raise ValueError(
+                    "sorted path supports one shared DISTINCT argument"
+                )
+            distinct_slot = slot_of[ident]
 
     spec = (
         tuple(
             (c.type,) + tuple(lay) for c, lay in zip(key_cols, key_layout)
         ),
         tuple(
-            (name, col.type if col is not None else None, rt, slot)
-            for (name, col, rt), slot in zip(agg_specs, agg_slots)
+            (name, col.type if col is not None else None, rt, slot,
+             distinct and name in ("sum", "avg", "count"))
+            for (name, col, rt, distinct), slot in zip(specs4, agg_slots)
         ),
         len(slot_cols),
         has_alive,
@@ -119,12 +138,15 @@ def sorted_grouped_aggregate(
     needs_rank = any(c.type == LogicalType.VARCHAR for c in key_cols) or any(
         c.type == LogicalType.VARCHAR and p
         for c, p in zip(slot_cols, slot_packed)
-    )
+    ) or (distinct_slot >= 0 and slot_cols[distinct_slot].type == LogicalType.VARCHAR)
     if needs_rank:
         r = GLOBAL_STRINGS.ranks_device()
         rank = r if r.shape[0] > 0 else None
 
-    out, new_run, rid, n_runs = _agg_phase1(
+    dkind = (
+        key_kind(slot_cols[distinct_slot].type) if distinct_slot >= 0 else ""
+    )
+    out, new_run, new_pair, rid, n_runs = _agg_phase1(
         tuple(c.data for c in key_cols),
         tuple(c.valid for c in key_cols),
         rank,
@@ -135,12 +157,16 @@ def sorted_grouped_aggregate(
         tuple(key_layout),
         tuple(slot_packed),
         rank_bits,
+        distinct_slot,
+        dkind,
     )
     n_groups = int(n_runs)  # pipeline-breaker sync
     r_cap = next_pow2(max(n_groups, 8))
 
+    if distinct_slot >= 0:
+        num_keys += 2  # the (valid, value) distinct sort-operand pair
     gdata, gvalid, adata, avalid = _agg_phase2(
-        out, new_run, rid, n_runs, num_keys, spec, r_cap
+        out, new_run, new_pair, rid, n_runs, num_keys, spec, r_cap
     )
 
     # slice every output to n_groups in ONE dispatch (eager per-column
@@ -155,8 +181,7 @@ def sorted_grouped_aggregate(
         Column(c.type, d, v) for c, d, v in zip(key_cols, gdata, gvalid)
     ]
     agg_cols = [
-        Column(rt, d, v)
-        for (_, _, rt), d, v in zip(agg_specs, adata, avalid)
+        Column(s[2], d, v) for s, d, v in zip(specs4, adata, avalid)
     ]
     return group_cols, agg_cols, n_groups
 
@@ -203,7 +228,10 @@ _BLK = 128
 
 @partial(
     jax.jit,
-    static_argnames=("kinds", "layout", "slot_packed", "rank_bits"),
+    static_argnames=(
+        "kinds", "layout", "slot_packed", "rank_bits", "distinct_slot",
+        "dkind",
+    ),
 )
 def _agg_phase1(
     kdatas,
@@ -216,6 +244,8 @@ def _agg_phase1(
     layout,
     slot_packed,
     rank_bits: int,
+    distinct_slot: int = -1,
+    dkind: str = "",
 ):
     """Operand assembly (key encoding, composite bit-packing, payload
     building) + variadic sort + run-boundary detection, ONE dispatched
@@ -280,17 +310,37 @@ def _agg_phase1(
             payloads.append(_sortable(data))
         payloads.append(valid.astype(jnp.int32))
 
+    n_group_ops = num_keys  # operands defining GROUP boundaries
+    if distinct_slot >= 0:
+        # the distinct argument rides as an extra (valid, value) sort-key
+        # pair AFTER the group keys: equal values cluster within each run,
+        # so phase 2 can count/sum at pair boundaries. Group boundaries
+        # still come from the key fields alone.
+        dd, dv = sdatas[distinct_slot], svalids[distinct_slot]
+        denc = _encode_traced(dkind, dd, rank)
+        sort_keys.append(dv.astype(jnp.int32))
+        sort_keys.append(
+            jnp.where(dv, denc, jnp.zeros((), denc.dtype))
+        )
+        num_keys = len(sort_keys)
+
     ops = sort_keys + payloads
     out = lax.sort(tuple(ops), num_keys=num_keys + 1)
     n = out[0].shape[0]
     new_run = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
     lo = 1 if has_alive else 0  # skip the dead flag for boundary detection
-    for arr in out[lo:num_keys]:
+    for arr in out[lo:n_group_ops]:
         d = arr[1:] != arr[:-1]
         new_run = new_run.at[1:].set(jnp.logical_or(new_run[1:], d))
+    new_pair = new_run
+    if distinct_slot >= 0:
+        for arr in out[n_group_ops:num_keys]:
+            d = arr[1:] != arr[:-1]
+            new_pair = new_pair.at[1:].set(jnp.logical_or(new_pair[1:], d))
     if has_alive:
         alive_s = out[num_keys + 1] > 0  # payloads: [rowidx, alive, ...]
         new_run = new_run & alive_s
+        new_pair = new_pair & alive_s
     rid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
     if has_alive:
         # Dead rows sort to the tail but would otherwise inherit the LAST
@@ -299,11 +349,13 @@ def _agg_phase1(
         # run, mirroring partial_grouped_fixed's rid_eff.
         rid = jnp.where(alive_s, rid, jnp.int32(np.iinfo(np.int32).max))
     n_runs = jnp.sum(new_run.astype(jnp.int32))
-    return out, new_run, rid, n_runs
+    return out, new_run, new_pair, rid, n_runs
 
 
 @partial(jax.jit, static_argnames=("num_keys", "spec", "r_cap"))
-def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
+def _agg_phase2(
+    out, new_run, new_pair, rid, n_runs, num_keys: int, spec, r_cap: int
+):
     """Per-run reduction + first-appearance placement at static capacity
     r_cap (outputs are r_cap-sized; the caller slices to n_groups).
 
@@ -393,10 +445,17 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
 
     # ---- first-appearance order -------------------------------------------
     # the row index was the least-significant sort key, so the row at each
-    # run START is the run's first-appearance representative
+    # run START is the run's first-appearance representative — UNLESS a
+    # distinct value key sits between the group keys and the row index, in
+    # which case the true first appearance is the run MIN of the row index
     row_idx = s_payloads[0]
-    rep = jnp.where(live, row_idx[jnp.clip(prev_end, 0, n - 1)],
-                    np.iinfo(np.int32).max)
+    any_distinct = any(len(it) > 4 and it[4] for it in agg_items)
+    if any_distinct:
+        big32 = np.iinfo(np.int32).max
+        rep = jnp.where(live, run_minmax(row_idx, True, big32), big32)
+    else:
+        rep = jnp.where(live, row_idx[jnp.clip(prev_end, 0, n - 1)],
+                        np.iinfo(np.int32).max)
     order_of_run = jnp.argsort(jnp.argsort(rep))  # rank in first-appearance order
 
     def place(vals_runs, dtype=None):
@@ -434,9 +493,11 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
 
     # ---- aggregates -----------------------------------------------------------
     slot_base = p
-    counts_cache: dict[int, object] = {}
+    counts_cache: dict = {}
     adata, avalid = [], []
-    for name, ct, rt, slot in agg_items:
+    for item in agg_items:
+        name, ct, rt, slot = item[0], item[1], item[2], item[3]
+        distinct = len(item) > 4 and item[4]
         if ct is None:  # count(*)
             if has_alive:
                 cnt = run_sum(alive_s.astype(jnp.int64))
@@ -449,9 +510,14 @@ def _agg_phase2(out, new_run, rid, n_runs, num_keys: int, spec, r_cap: int):
         valid = s_payloads[slot_base + 2 * slot + 1] > 0
         if has_alive:
             valid = valid & alive_s
-        if slot not in counts_cache:
-            counts_cache[slot] = run_sum(valid.astype(jnp.int64))
-        counts = counts_cache[slot]
+        if distinct:
+            # contributions only at (group, value) pair boundaries — the
+            # distinct value rode as an extra sort key, so duplicates are
+            # adjacent and only the first of each counts
+            valid = valid & new_pair
+        if (slot, distinct) not in counts_cache:
+            counts_cache[(slot, distinct)] = run_sum(valid.astype(jnp.int64))
+        counts = counts_cache[(slot, distinct)]
         has_any = counts > 0
         if name == "count":
             adata.append(place(jnp.where(live, counts, 0)))

@@ -199,3 +199,68 @@ def test_fused_filter_dead_null_key_row():
     db.run("insert into t values (1,1),(null,0)")
     got = db.run_lines("select k, count(v) from t where v=1 group by k")
     assert got == ["1 1"]
+
+
+def test_distinct_aggregates_sorted_path():
+    """count/sum/avg(DISTINCT) ride the sorted-run path (one shared arg):
+    oracle-checked with NULLs in values and keys, plus first-appearance
+    group order."""
+    import sqlrs_tpu
+
+    rng = np.random.default_rng(5)
+    n = 500
+    k = rng.integers(0, 12, n)
+    v = rng.integers(0, 9, n)
+    knull = rng.random(n) < 0.08
+    vnull = rng.random(n) < 0.15
+    db = sqlrs_tpu.Database()
+    db.run("create table t(k int, v int)")
+    db.run("insert into t values " + ",".join(
+        f"({'null' if knull[i] else int(k[i])},{'null' if vnull[i] else int(v[i])})"
+        for i in range(n)))
+    got = db.run_lines(
+        "select k, count(distinct v), sum(distinct v), count(v), sum(v) "
+        "from t group by k")
+    # oracle with first-appearance order
+    order, seen = [], {}
+    for i in range(n):
+        kk = None if knull[i] else int(k[i])
+        if kk not in seen:
+            seen[kk] = {"d": set(), "c": 0, "s": 0}
+            order.append(kk)
+        if not vnull[i]:
+            seen[kk]["d"].add(int(v[i]))
+            seen[kk]["c"] += 1
+            seen[kk]["s"] += int(v[i])
+    exp = []
+    for kk in order:
+        st = seen[kk]
+        exp.append(
+            f"{'NULL' if kk is None else kk} {len(st['d'])} "
+            f"{sum(st['d']) if st['d'] else 'NULL'} {st['c']} "
+            f"{st['s'] if st['c'] else 'NULL'}")
+    assert got == exp
+
+
+def test_distinct_aggregate_with_filter_fusion():
+    import sqlrs_tpu
+
+    db = sqlrs_tpu.Database()
+    db.run("create table t(k int, v int)")
+    db.run("insert into t values (1,5),(1,5),(1,6),(2,7),(2,7),(1,5),(3,1)")
+    got = db.run_lines(
+        "select k, count(distinct v) from t where v > 1 group by k")
+    assert got == ["1 2", "2 1"]
+    # avg(distinct)
+    got = db.run_lines("select k, avg(distinct v) from t group by k")
+    assert got == ["1 5.5", "2 7", "3 1"]
+
+
+def test_distinct_varchar_count():
+    import sqlrs_tpu
+
+    db = sqlrs_tpu.Database()
+    db.run("create table t(k int, s varchar)")
+    db.run("insert into t values (1,'a'),(1,'b'),(1,'a'),(2,'c'),(2,null),(2,'c')")
+    assert db.run_lines(
+        "select k, count(distinct s) from t group by k") == ["1 2", "2 1"]
