@@ -68,26 +68,41 @@ def install(counter: DispatchCounter) -> None:
     pjit_mod._get_fastpath_data = lambda *a, **k: None
 
     def _site(tag):
-        frames = []
-        for fr in reversed(traceback.extract_stack(limit=30)):
-            if "dispatch_count" in fr.filename:
-                continue
-            if "sqlrs_tpu" in fr.filename or "/benchmarks/" in fr.filename:
-                frames.append(f"{fr.filename.split('/')[-1]}:{fr.lineno}")
-                if len(frames) == 3:
-                    break
-        if frames:
-            counter._stack_samples[f"{tag}@" + " < ".join(frames)] += 1
+        ours = [
+            f"{fr.filename.split('/')[-1]}:{fr.lineno}"
+            for fr in traceback.extract_stack(limit=60)
+            if ("sqlrs_tpu" in fr.filename or "/benchmarks/" in fr.filename)
+            and "dispatch_count" not in fr.filename
+        ]
+        if ours:
+            # innermost frame + the outermost three (the operator context)
+            counter._stack_samples[
+                f"{tag}@" + " < ".join(ours[-6:])
+            ] += 1
+
+    import sys
+
+    def _inside_trace() -> bool:
+        """With the fastpath disabled every call re-traces, so constant
+        folding during _trace_for_jit would be (mis)counted as steady
+        dispatches — in production the trace happens once at compile time.
+        Skip anything executing under a trace."""
+        f = sys._getframe(2)
+        while f is not None:
+            if f.f_code.co_name in ("_trace_for_jit", "trace_to_jaxpr_dynamic"):
+                return True
+            f = f.f_back
+        return False
 
     def apply_primitive(prim, *args, **kw):
-        if counter.active:
+        if counter.active and not _inside_trace():
             counter.eager[prim.name] += 1
             if counter.sample_stacks:
                 _site("eager")
         return orig_apply(prim, *args, **kw)
 
     def run_python_pjit(p, args_flat, fun, *rest, **kw):
-        if counter.active:
+        if counter.active and not _inside_trace():
             counter.jit[getattr(fun, "__name__", "<jit>")] += 1
             if counter.sample_stacks:
                 _site("jit")

@@ -465,7 +465,9 @@ class Executor:
             keep = _eval_residual_on_pairs(op.filter, left, right, l_idx, r_idx)
             cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
             sel = compact_indices(keep, cnt)
-            l_idx, r_idx = l_idx[sel], r_idx[sel]
+            from sqlrs_tpu.ops.fused import gather_arrays
+
+            l_idx, r_idx = gather_arrays((l_idx, r_idx), sel)
 
         # Unmatched-row passes, device-side: a scatter marks visited rows
         # and a flag-sort compaction extracts the unmatched index set (the
@@ -638,7 +640,10 @@ def _eval_residual_on_pairs(filter_expr, left, right, l_idx, r_idx):
     pairs = _merge_rows_schema(
         Schema(tuple(sub_fields)), left_sub, right_sub, l_idx, r_idx
     )
-    return execute_expr(expr2, pairs)
+    # fused: a Q19-sized residual (nested AND/OR over a dozen comparisons)
+    # costs ~450 eager dispatches — one compiled program instead
+    (keep,) = execute_exprs_fused([expr2], pairs)
+    return keep
 
 
 def _merge_rows_schema(schema, left, right, l_idx, r_idx) -> DeviceBatch:
