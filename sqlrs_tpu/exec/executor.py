@@ -372,17 +372,8 @@ class Executor:
             # semantics per SQL spec / DuckDB behavior)
             if bool(jnp.any(jnp.logical_not(right_keys[0].valid))):
                 return left.slice(0, 0)
-        l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
-        if op.filter is not None and len(l_idx):
-            keep = _eval_residual_on_pairs(op.filter, left, right, l_idx, r_idx)
-            cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
-            l_idx = jnp.asarray(l_idx)[compact_indices(keep, cnt)]
         nl = left.num_rows
-        matched = (
-            jnp.zeros((nl,), jnp.bool_).at[jnp.asarray(l_idx)].set(True)
-            if len(l_idx)
-            else jnp.zeros((nl,), jnp.bool_)
-        )
+        matched = self._mark_matches(op, left, right, left_keys, right_keys)
         keep_mask = matched if op.join_type == "semi" else jnp.logical_not(matched)
         if op.null_aware and op.join_type == "anti":
             if correlated:
@@ -406,6 +397,55 @@ class Executor:
         out = left.take(compact_indices(keep_col, n_keep))
         return DeviceBatch(out_schema, out.columns, out.num_rows)
 
+    def _mark_matches(self, op, left, right, left_keys, right_keys):
+        """bool[left rows]: does a surviving (keys + residual) match exist?
+
+        Count-based mark join: per-left-row match counts come straight from
+        the join kernel's merged sort (ops/join.match_counts) with NO pair
+        expansion — a residual-free semi/anti is two dispatches. A residual
+        that is a single column <> column comparison (the TPC-H Q21 shape,
+        'exists another lineitem with a DIFFERENT supplier') folds into
+        counts too:  matched = #key-matches-with-valid-b − #(key,b)=(key,a)
+        matches > 0. Everything else falls back to pair expansion."""
+        from sqlrs_tpu.binder.expression import BoundComparison, BoundReference
+        from sqlrs_tpu.ops.join import match_counts
+
+        nl = left.num_rows
+        if op.filter is None:
+            return match_counts(right_keys, left_keys) > 0
+        ne = None
+        f = op.filter
+        if (
+            isinstance(f, BoundComparison)
+            and f.op in ("<>", "!=")
+            and isinstance(f.left, BoundReference)
+            and isinstance(f.right, BoundReference)
+        ):
+            w = len(left.columns)
+            ia, ib = f.left.index, f.right.index
+            if ia < w <= ib:
+                ne = (ia, ib - w)
+            elif ib < w <= ia:
+                ne = (ib, ia - w)
+        if ne is not None:
+            a_l = left.columns[ne[0]]
+            b_r = right.columns[ne[1]]
+            # a <> b is TRUE only where both sides are valid: restrict the
+            # key-match count to valid-b rows, subtract the equal-pair count
+            rk_masked = [c.mask_invalid(b_r.valid) for c in right_keys]
+            counts_all = match_counts(rk_masked, left_keys)
+            counts_eq = match_counts(rk_masked + [b_r], left_keys + [a_l])
+            return a_l.valid & (counts_all - counts_eq > 0)
+        # general residual: expand pairs, filter, scatter
+        l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
+        if len(l_idx):
+            keep = _eval_residual_on_pairs(op.filter, left, right, l_idx, r_idx)
+            cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
+            l_idx = jnp.asarray(l_idx)[compact_indices(keep, cnt)]
+        if not len(l_idx):
+            return jnp.zeros((nl,), jnp.bool_)
+        return jnp.zeros((nl,), jnp.bool_).at[jnp.asarray(l_idx)].set(True)
+
     def _correlated_group_info(self, op, left, right, left_keys, right_keys):
         """Per-left-row info about the CORRELATED inner subset for null-aware
         NOT IN: (group_nonempty, group_has_null_value) bool masks. The group
@@ -413,6 +453,16 @@ class Executor:
         filter — NOT the IN-value comparison itself."""
         corr_l, corr_r = left_keys[1:], right_keys[1:]
         nl, nr = left.num_rows, right.num_rows
+        if corr_l and op.filter is None:
+            from sqlrs_tpu.ops.join import match_counts
+
+            nonempty = match_counts(corr_r, corr_l) > 0
+            null_rows = jnp.logical_not(right_keys[0].valid)
+            has_null = (
+                match_counts([c.mask_invalid(null_rows) for c in corr_r], corr_l)
+                > 0
+            )
+            return nonempty, has_null
         if corr_l:
             gl, gr = equi_join_pairs(corr_l, corr_r)
             gl, gr = jnp.asarray(gl), jnp.asarray(gr)

@@ -373,6 +373,12 @@ def _agg_phase2(
     alive_s = (s_payloads[1] > 0) if has_alive else None
     n = out[0].shape[0]
     pad_n = (-n) % _BLK
+    # DENSE mode: when the group count approaches the row count (Q18's 1.5M
+    # orderkey groups over 6M rows), the per-run block machinery gathers
+    # ~3×128 elements PER RUN (≈3N total random reads); a full-N cumsum +
+    # one N-sized scatter is far cheaper. Both n and r_cap are trace-time
+    # static, so this is a compile-time algorithm choice.
+    dense = r_cap * 64 >= n
 
     def _pad_to_blocks(arr, fill):
         if pad_n == 0:
@@ -381,67 +387,101 @@ def _agg_phase2(
 
     r = jnp.arange(r_cap, dtype=jnp.int32)
     rid_p = _pad_to_blocks(rid, np.iinfo(np.int32).max)
-    ends = _sorted_ranks_left(rid_p.reshape(-1, _BLK), r + 1)  # side='right'
+    big32 = np.iinfo(np.int32).max
+    rid_tgt = jnp.where(
+        (rid >= 0) & (rid < r_cap), rid.astype(jnp.int64), r_cap
+    )
+    if dense:
+        # run end = max row position + 1 scattered by run id
+        ends = (
+            jnp.zeros((r_cap + 1,), jnp.int64)
+            .at[rid_tgt]
+            .max(jnp.arange(1, n + 1, dtype=jnp.int64))[:r_cap]
+        )
+    else:
+        ends = _sorted_ranks_left(rid_p.reshape(-1, _BLK), r + 1)  # side='right'
     prev_end = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
     live = r < n_runs
     last = jnp.clip(ends - 1, 0, n - 1)
     lane = jnp.arange(_BLK, dtype=jnp.int32)
 
-    def run_sum(arr):
-        a2 = _pad_to_blocks(arr, 0).reshape(-1, _BLK)
-        nb = a2.shape[0]
-        bs = jnp.sum(a2, axis=1)
-        bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
+    if dense:
 
-        def prefix_at(pos):
-            b = pos // _BLK
-            rem = (pos % _BLK).astype(jnp.int32)
-            rows = a2[jnp.clip(b, 0, nb - 1)]
-            part = jnp.sum(
-                jnp.where(lane[None, :] < rem[:, None], rows, 0), axis=1
+        def run_sum(arr):
+            cs = jnp.cumsum(arr)
+
+            def prefix_at(pos):
+                return jnp.where(pos > 0, cs[jnp.clip(pos - 1, 0, n - 1)], 0)
+
+            return prefix_at(ends) - prefix_at(prev_end)
+
+        def run_minmax(arr, want_min, sentinel):
+            init = jnp.full((r_cap + 1,), sentinel, arr.dtype)
+            scat = (
+                init.at[rid_tgt].min(arr)
+                if want_min
+                else init.at[rid_tgt].max(arr)
             )
-            return bp[b] + part
+            return scat[:r_cap]
 
-        return prefix_at(ends) - prefix_at(prev_end)
+    else:
 
-    nb_all = (n + pad_n) // _BLK
-    rid_blocks_first = rid_p[::_BLK]
-    rid_blocks_last = rid_p[_BLK - 1 :: _BLK]
-    whole_blk = rid_blocks_first == rid_blocks_last
-    e1 = jnp.maximum(ends, 1) - 1
-    bs_ = prev_end // _BLK
-    rs_ = (prev_end % _BLK).astype(jnp.int32)
-    be_ = e1 // _BLK
-    re_ = (e1 % _BLK).astype(jnp.int32) + 1
-    same_blk = bs_ == be_
+        def run_sum(arr):
+            a2 = _pad_to_blocks(arr, 0).reshape(-1, _BLK)
+            nb = a2.shape[0]
+            bs = jnp.sum(a2, axis=1)
+            bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
 
-    def run_minmax(arr, want_min, sentinel):
-        """Segmented min/max over the sorted runs WITHOUT an associative
-        scan (whose log2(N) unrolled stages dominated compile time): one
-        block-reduce pass, an nb-sized scatter of whole-block bests to their
-        run, and two gathered boundary rows per run for the partial blocks."""
-        a2 = _pad_to_blocks(arr, sentinel).reshape(-1, _BLK)
-        red = jnp.min if want_min else jnp.max
-        bbest = red(a2, axis=1)
-        tgt = jnp.where(
-            whole_blk & (rid_blocks_first >= 0) & (rid_blocks_first < r_cap),
-            rid_blocks_first.astype(jnp.int64),
-            r_cap,
-        )
-        init = jnp.full((r_cap + 1,), sentinel, a2.dtype)
-        out = (
-            init.at[tgt].min(bbest) if want_min else init.at[tgt].max(bbest)
-        )[:r_cap]
-        head_rows = a2[jnp.clip(bs_, 0, nb_all - 1)]
-        not_same = jnp.logical_not(same_blk)
-        hm = (lane[None, :] >= rs_[:, None]) & (
-            not_same[:, None] | (lane[None, :] < re_[:, None])
-        )
-        head = red(jnp.where(hm, head_rows, sentinel), axis=1)
-        tail_rows = a2[jnp.clip(be_, 0, nb_all - 1)]
-        tm = (lane[None, :] < re_[:, None]) & not_same[:, None]
-        tail = red(jnp.where(tm, tail_rows, sentinel), axis=1)
-        return red(jnp.stack([out, head, tail]), axis=0)
+            def prefix_at(pos):
+                b = pos // _BLK
+                rem = (pos % _BLK).astype(jnp.int32)
+                rows = a2[jnp.clip(b, 0, nb - 1)]
+                part = jnp.sum(
+                    jnp.where(lane[None, :] < rem[:, None], rows, 0), axis=1
+                )
+                return bp[b] + part
+
+            return prefix_at(ends) - prefix_at(prev_end)
+
+        nb_all = (n + pad_n) // _BLK
+        rid_blocks_first = rid_p[::_BLK]
+        rid_blocks_last = rid_p[_BLK - 1 :: _BLK]
+        whole_blk = rid_blocks_first == rid_blocks_last
+        e1 = jnp.maximum(ends, 1) - 1
+        bs_ = prev_end // _BLK
+        rs_ = (prev_end % _BLK).astype(jnp.int32)
+        be_ = e1 // _BLK
+        re_ = (e1 % _BLK).astype(jnp.int32) + 1
+        same_blk = bs_ == be_
+
+        def run_minmax(arr, want_min, sentinel):
+            """Segmented min/max over the sorted runs WITHOUT an associative
+            scan (whose log2(N) unrolled stages dominated compile time): one
+            block-reduce pass, an nb-sized scatter of whole-block bests to
+            their run, and two gathered boundary rows per run for the
+            partial blocks."""
+            a2 = _pad_to_blocks(arr, sentinel).reshape(-1, _BLK)
+            red = jnp.min if want_min else jnp.max
+            bbest = red(a2, axis=1)
+            tgt = jnp.where(
+                whole_blk & (rid_blocks_first >= 0) & (rid_blocks_first < r_cap),
+                rid_blocks_first.astype(jnp.int64),
+                r_cap,
+            )
+            init = jnp.full((r_cap + 1,), sentinel, a2.dtype)
+            out = (
+                init.at[tgt].min(bbest) if want_min else init.at[tgt].max(bbest)
+            )[:r_cap]
+            head_rows = a2[jnp.clip(bs_, 0, nb_all - 1)]
+            not_same = jnp.logical_not(same_blk)
+            hm = (lane[None, :] >= rs_[:, None]) & (
+                not_same[:, None] | (lane[None, :] < re_[:, None])
+            )
+            head = red(jnp.where(hm, head_rows, sentinel), axis=1)
+            tail_rows = a2[jnp.clip(be_, 0, nb_all - 1)]
+            tm = (lane[None, :] < re_[:, None]) & not_same[:, None]
+            tail = red(jnp.where(tm, tail_rows, sentinel), axis=1)
+            return red(jnp.stack([out, head, tail]), axis=0)
 
     # ---- first-appearance order -------------------------------------------
     # the row index was the least-significant sort key, so the row at each

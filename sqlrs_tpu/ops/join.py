@@ -118,6 +118,31 @@ def _pairs_phase_b(starts, counts, order, total: int):
     return l_idx, r_idx
 
 
+def match_counts(build_keys: list[Column], probe_keys: list[Column]):
+    """Per-probe-row count of matching build rows — the mark-join primitive
+    (semi/anti/EXISTS) — with NO pair expansion and NO host sync: just
+    _pairs_phase_a's merged sort. NULL keys on either side never match.
+
+    Replaces pair expansion + scatter for semi/anti joins (reference
+    hash_join.rs:207-250 emits pairs row-at-a-time; a 6M-row TPC-H Q21
+    self-mark-join would expand ~40M pairs just to test emptiness)."""
+    nl = len(build_keys[0])
+    nr = len(probe_keys[0])
+    if nl == 0 or nr == 0:
+        return jnp.zeros(nr, dtype=jnp.int64)
+    l_ops: list = []
+    r_ops: list = []
+    for l, r in zip(build_keys, probe_keys):
+        lk, lv = orderable_key(l)
+        rk, rv = orderable_key(r)
+        l_ops += [lv, lk]
+        r_ops += [rv, rk.astype(lk.dtype)]
+    _, counts, _, _ = _pairs_phase_a(
+        tuple(l_ops), tuple(r_ops), len(l_ops)
+    )
+    return counts
+
+
 def equi_join_pairs(
     left_keys: list[Column], right_keys: list[Column]
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
