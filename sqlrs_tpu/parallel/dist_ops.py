@@ -191,7 +191,12 @@ def dist_join_groupby_shuffle(
     """General large-large path: both sides repartitioned by key hash, then
     per-shard hash join + partial aggregation; partials combined with psum.
     Handles dim sides too large to replicate; skewed hot keys are bounded by
-    bucket_capacity (salted splitting is layered above by the planner)."""
+    bucket_capacity (salted splitting is layered above by the planner).
+
+    Returns (sums, counts, overflow): overflow > 0 means a (sender,
+    receiver) bucket exceeded bucket_capacity and ROWS WERE DROPPED — the
+    result is NOT trustworthy and the caller must retry with a larger
+    capacity (dist_join_groupby_shuffle_checked does this) or raise."""
     n_dev = _axis_size(mesh, axis)
 
     def _pad_to_mesh(x, fill):
@@ -207,19 +212,42 @@ def dist_join_groupby_shuffle(
     fact_vals, _ = _pad_to_mesh(fact_vals, 0)
     dim_keys, valid_d = _pad_to_mesh(dim_keys, 0)
     dim_vals, _ = _pad_to_mesh(dim_vals, 0)
-    fk, fv, fm, _ = partition_shuffle(mesh, fact_keys, fact_vals, valid_f, bucket_capacity, axis)
-    dk, drow, dm, _ = partition_shuffle(mesh, dim_keys, dim_vals, valid_d, bucket_capacity, axis)
+    fk, fv, fm, ovf_f = partition_shuffle(mesh, fact_keys, fact_vals, valid_f, bucket_capacity, axis)
+    dk, drow, dm, ovf_d = partition_shuffle(mesh, dim_keys, dim_vals, valid_d, bucket_capacity, axis)
 
     def local(fk, fv, fm, dk, drow, dm):
         sums, cnts = _local_join_groupby(fk, fv, fm, dk, drow, dm, n_groups)
         return jax.lax.psum(sums, axis), jax.lax.psum(cnts, axis)
 
-    return shard_map(
+    sums, cnts = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis),) * 6,
         out_specs=(P(), P()),
     )(fk, fv, fm, dk, drow, dm)
+    return sums, cnts, jnp.sum(ovf_f) + jnp.sum(ovf_d)
+
+
+def dist_join_groupby_shuffle_checked(
+    mesh, fact_keys, fact_vals, dim_keys, n_groups: int, bucket_capacity: int, axis="x"
+):
+    """Host-level wrapper: retries with 4x capacity until no exchange bucket
+    overflows (the bucketed-recompile strategy dist_sort_rows uses,
+    SURVEY.md §7). Capacity == total padded rows always fits, so the loop
+    terminates; silent row drops are impossible through this entry point."""
+    n_dev = _axis_size(mesh, axis)
+    n_pad = fact_keys.shape[0] + (-fact_keys.shape[0]) % n_dev
+    d_pad = dim_keys.shape[0] + (-dim_keys.shape[0]) % n_dev
+    cap_max = max(n_pad, d_pad)
+    while True:
+        sums, cnts, overflow = dist_join_groupby_shuffle(
+            mesh, fact_keys, fact_vals, dim_keys, n_groups, bucket_capacity, axis
+        )
+        if int(np.max(np.asarray(overflow))) == 0:
+            return sums, cnts
+        if bucket_capacity >= cap_max:  # pragma: no cover - cap_max always fits
+            raise RuntimeError("exchange overflow at full capacity")
+        bucket_capacity = min(bucket_capacity * 4, cap_max)
 
 
 def dist_join_groupby_salted(
@@ -283,7 +311,7 @@ def dist_join_groupby_salted(
         salt = (jnp.arange(n, dtype=jnp.int32) % n_dev)
         dest = jnp.where(hot[bucket_f], salt, base_dest)
         dest = jnp.where(fm, dest, n_dev)
-        (fk2, fv2), fm2 = _exchange_rows(
+        (fk2, fv2), fm2, ovf_f = _exchange_rows(
             (fk, fv), dest, n_dev, bucket_capacity, axis
         )
 
@@ -293,11 +321,16 @@ def dist_join_groupby_salted(
         dest_d = jnp.where(
             dm & ~d_hot, (hash_keys(dk, 1 << 32) % n_dev).astype(jnp.int32), n_dev
         )
-        dcold, dm_cold = _exchange_rows(
+        dcold, dm_cold, ovf_d = _exchange_rows(
             (dk, drow), dest_d, n_dev, bucket_capacity, axis
-        )[0:2]
+        )
         dk_cold, drow_cold = dcold
-        # hot subset to fixed-capacity buffer, then all_gather
+        # hot subset to fixed-capacity buffer, then all_gather; hot rows
+        # beyond hot_capacity are NOT carried — count them as overflow so
+        # the caller retries (silent truncation = wrong answers under skew)
+        ovf_hot = jnp.maximum(
+            jnp.sum(d_hot.astype(jnp.int64)) - hot_capacity, 0
+        )
         hot_order = jnp.argsort(jnp.logical_not(d_hot), stable=True)
         hk = dk[hot_order][:hot_capacity]
         hr = drow[hot_order][:hot_capacity]
@@ -314,14 +347,49 @@ def dist_join_groupby_salted(
         sums, cnts = _local_join_groupby(
             fk2, fv2, fm2, dk_all, drow_all, dm_all, n_groups
         )
-        return jax.lax.psum(sums, axis), jax.lax.psum(cnts, axis)
+        overflow = jax.lax.psum(ovf_f + ovf_d + ovf_hot, axis)
+        return jax.lax.psum(sums, axis), jax.lax.psum(cnts, axis), overflow
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
     )(fact_keys, fact_vals, fvalid, dim_keys_p, dim_rows_p, dvalid)
+
+
+def dist_join_groupby_salted_checked(
+    mesh,
+    fact_keys,
+    fact_vals,
+    dim_keys,
+    n_groups: int,
+    bucket_capacity: int,
+    hot_capacity: int = 1024,
+    hot_factor: float = 4.0,
+    axis="x",
+):
+    """Host-level wrapper around the salted kernel: retries with 4x bucket
+    AND hot capacities until nothing overflowed. Both capacities are bounded
+    by the padded input sizes, so the loop terminates with every row
+    processed exactly once."""
+    n_dev = _axis_size(mesh, axis)
+    n_pad = fact_keys.shape[0] + (-fact_keys.shape[0]) % n_dev
+    d_pad = dim_keys.shape[0] + (-dim_keys.shape[0]) % n_dev
+    cap_max = max(n_pad, d_pad)
+    while True:
+        sums, cnts, overflow = dist_join_groupby_salted(
+            mesh, fact_keys, fact_vals, dim_keys, n_groups,
+            bucket_capacity, hot_capacity, hot_factor, axis,
+        )
+        if int(np.max(np.asarray(overflow))) == 0:
+            return sums, cnts
+        if bucket_capacity >= cap_max and hot_capacity >= d_pad:
+            raise RuntimeError(  # pragma: no cover - full capacity always fits
+                "exchange overflow at full capacity"
+            )
+        bucket_capacity = min(bucket_capacity * 4, cap_max)
+        hot_capacity = min(hot_capacity * 4, d_pad)
 
 
 def dist_join_groupby_ring(mesh, fact_keys, fact_vals, dim_keys, n_groups: int, axis="x"):
@@ -408,8 +476,10 @@ def dist_join_groupby_ring(mesh, fact_keys, fact_vals, dim_keys, n_groups: int, 
 
 def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
     """all_to_all N rows to `dest` shards (dest == n_dev drops the row);
-    returns (tuple of received arrays, received mask). Shared bucketing logic
-    for the shuffle operators."""
+    returns (tuple of received arrays, received mask, local overflow count).
+    Shared bucketing logic for the shuffle operators. overflow > 0 means
+    live rows did NOT fit their (sender, receiver) bucket and were dropped —
+    callers must surface it (retry bigger or raise), never ignore it."""
     n = dest.shape[0]
     order = jnp.argsort(dest, stable=True)
     d_s = dest[order]
@@ -419,6 +489,7 @@ def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
     starts = jnp.cumsum(counts) - counts
     pos = jnp.arange(n, dtype=jnp.int64) - starts[jnp.clip(d_s, 0, n_dev - 1)]
     in_cap = ok & (pos < bucket_capacity)
+    overflow = jnp.sum(ok & jnp.logical_not(in_cap))
     flat = jnp.where(
         in_cap, jnp.clip(d_s, 0, n_dev - 1) * bucket_capacity + pos,
         n_dev * bucket_capacity,
@@ -435,7 +506,7 @@ def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
     mask = jax.lax.all_to_all(
         mbuf[:-1].reshape(n_dev, bucket_capacity), axis, 0, 0
     ).reshape(-1)
-    return tuple(received), mask
+    return tuple(received), mask, overflow
 
 
 def dist_sort_rows(
@@ -489,17 +560,9 @@ def dist_sort_rows(
         dest = jnp.where(alive_l, dest, n_dev)  # dead rows are dropped
 
         send = tuple(keys_l) + (rowid,) + tuple(pays_l)
-        # count overflow before the exchange drops rows
-        order = jnp.argsort(dest, stable=True)
-        d_s = dest[order]
-        ok = d_s < n_dev
-        one = ok.astype(jnp.int64)
-        counts = jnp.zeros((n_dev,), jnp.int64).at[jnp.where(ok, d_s, 0)].add(one)
-        starts = jnp.cumsum(counts) - counts
-        pos = jnp.arange(n_local, dtype=jnp.int64) - starts[jnp.clip(d_s, 0, n_dev - 1)]
-        overflow = jnp.sum(ok & (pos >= bucket_capacity))
-
-        received, mask = _exchange_rows(send, dest, n_dev, bucket_capacity, axis)
+        received, mask, overflow = _exchange_rows(
+            send, dest, n_dev, bucket_capacity, axis
+        )
         keys_r = received[:nk]
         rowid_r = received[nk]
         pays_r = received[nk + 1 :]

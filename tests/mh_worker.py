@@ -73,18 +73,20 @@ def main() -> None:
     dk = jax.device_put(jnp.asarray(dim_keys), replicated(mesh))
     dk_sharded = jax.device_put(jnp.asarray(dim_keys), row_sharding(mesh))
 
-    sums, _ = jax.jit(
+    sums, _, _ovf = jax.jit(
         lambda a, b, c: dist_join_groupby_shuffle(
             mesh, a, b, c, groups, bucket_capacity=n
         )
     )(fk, fv, dk)
+    assert int(fetch(_ovf)) == 0, "shuffle overflow" 
     assert int(fetch(jnp.sum(sums))) == expect_total, "shuffle"
 
-    sums2, _ = jax.jit(
+    sums2, _, _ovf2 = jax.jit(
         lambda a, b, c: dist_join_groupby_salted(
             mesh, a, b, c, groups, bucket_capacity=n, hot_capacity=32
         )
     )(fk, fv, dk)
+    assert int(fetch(_ovf2)) == 0, "salted overflow" 
     assert int(fetch(jnp.sum(sums2))) == expect_total, "salted"
 
     sums3, _ = jax.jit(

@@ -55,10 +55,11 @@ def test_broadcast_join_groupby(mesh, data):
 
 
 def test_shuffle_join_groupby(mesh, data):
-    sums, counts = dist_join_groupby_shuffle(
+    sums, counts, overflow = dist_join_groupby_shuffle(
         mesh, data["fk"], data["fv"], data["dk"], data["groups"],
         bucket_capacity=data["n"] // 2,
     )
+    assert int(np.asarray(overflow)) == 0
     assert np.array_equal(np.asarray(sums), data["exp_s"])
     assert np.array_equal(np.asarray(counts), data["exp_c"])
 
@@ -132,9 +133,10 @@ def test_salted_join_groupby_extreme_skew(mesh):
     exp_c = np.zeros(groups, np.int64)
     np.add.at(exp_s, gid, np.asarray(fv))
     np.add.at(exp_c, gid, 1)
-    sums, cnts = dist_join_groupby_salted(
+    sums, cnts, overflow = dist_join_groupby_salted(
         mesh, fk, fv, dk, groups, bucket_capacity=n // 4, hot_capacity=64
     )
+    assert int(np.asarray(overflow)) == 0
     assert np.array_equal(np.asarray(sums), exp_s)
     assert np.array_equal(np.asarray(cnts), exp_c)
 
@@ -170,3 +172,62 @@ def test_ring_join_groupby_unpadded_sizes(mesh):
     sums, counts = dist_join_groupby_ring(mesh, fk, fv, jnp.asarray(dim_keys), groups)
     assert np.array_equal(np.asarray(sums), exp_s)
     assert np.array_equal(np.asarray(counts), exp_c)
+
+
+def test_shuffle_overflow_is_reported_then_retried(mesh, data):
+    """Forcing exchange overflow must be VISIBLE (overflow > 0), and the
+    checked wrapper must converge to exact results by growing capacity —
+    silent row drops are a correctness bug (VERDICT round-2 item 2)."""
+    from sqlrs_tpu.parallel.dist_ops import dist_join_groupby_shuffle_checked
+
+    tiny = 16  # far below the ~x/8 rows each (sender, receiver) pair needs
+    _, _, overflow = dist_join_groupby_shuffle(
+        mesh, data["fk"], data["fv"], data["dk"], data["groups"],
+        bucket_capacity=tiny,
+    )
+    assert int(np.asarray(overflow)) > 0
+    sums, counts = dist_join_groupby_shuffle_checked(
+        mesh, data["fk"], data["fv"], data["dk"], data["groups"],
+        bucket_capacity=tiny,
+    )
+    assert np.array_equal(np.asarray(sums), data["exp_s"])
+    assert np.array_equal(np.asarray(counts), data["exp_c"])
+
+
+def test_salted_hot_truncation_is_reported_then_retried(mesh):
+    """Hot dim rows beyond hot_capacity and overflowing fact buckets must
+    surface as overflow; the checked wrapper grows BOTH capacities until the
+    skewed join is exact."""
+    from sqlrs_tpu.parallel.dist_ops import (
+        dist_join_groupby_salted,
+        dist_join_groupby_salted_checked,
+    )
+
+    rng = np.random.default_rng(3)
+    n, groups = 8_000, 512
+    # every key lands in a hot bucket's neighborhood: with hot_capacity=1
+    # some hot dim rows MUST be truncated unless the wrapper grows it
+    gid = np.where(rng.random(n) < 0.9, 0, rng.integers(1, groups, n)).astype(
+        np.int64
+    )
+    dim_keys = np.arange(groups, dtype=np.int64) * 7 + 3
+    fk = jax.device_put(jnp.asarray(dim_keys[gid]), row_sharding(mesh))
+    fv = jax.device_put(
+        jnp.asarray(rng.integers(0, 10, n).astype(np.int64)), row_sharding(mesh)
+    )
+    dk = jax.device_put(jnp.asarray(dim_keys), replicated(mesh))
+    exp_s = np.zeros(groups, np.int64)
+    exp_c = np.zeros(groups, np.int64)
+    np.add.at(exp_s, gid, np.asarray(fv))
+    np.add.at(exp_c, gid, 1)
+    _, _, overflow = dist_join_groupby_salted(
+        mesh, fk, fv, dk, groups, bucket_capacity=32, hot_capacity=1,
+        hot_factor=0.5,
+    )
+    assert int(np.asarray(overflow)) > 0
+    sums, cnts = dist_join_groupby_salted_checked(
+        mesh, fk, fv, dk, groups, bucket_capacity=32, hot_capacity=1,
+        hot_factor=0.5,
+    )
+    assert np.array_equal(np.asarray(sums), exp_s)
+    assert np.array_equal(np.asarray(cnts), exp_c)
