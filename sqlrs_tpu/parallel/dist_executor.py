@@ -65,13 +65,21 @@ class ShardedBatch:
     """Row-sharded columnar batch: fixed capacity (multiple of n_dev),
     `alive` marks live rows. `parts` holds small host-side row blocks that
     belong AFTER all sharded rows (unmatched-left join output, reference
-    hash_join.rs:294-322 appends them last)."""
+    hash_join.rs:294-322 appends them last).
+
+    `rowid`, when set, is the LOGICAL row-order key (int64, sharded like the
+    columns): the batch's single-device-equivalent order is ascending rowid
+    among alive rows, not physical position. Shuffle-repartition joins set
+    it (the exchange scrambles physical placement); collect sorts by it, and
+    order-sensitive operators (first-appearance GROUP BY, ORDER BY ties,
+    LIMIT) consume it instead of position. rowid None == position order."""
 
     schema: Schema
     columns: list[Column]  # data/valid sharded P(axis)
     alive: jnp.ndarray  # bool[capacity], sharded P(axis)
     mesh: jax.sharding.Mesh
     parts: list[DeviceBatch] = field(default_factory=list)
+    rowid: Optional[jnp.ndarray] = None  # int64[capacity] logical order
 
     @property
     def capacity(self) -> int:
@@ -83,13 +91,18 @@ class ShardedBatch:
         return DeviceBatch(self.schema, self.columns, self.capacity)
 
     def with_columns(self, schema: Schema, columns: list[Column]) -> "ShardedBatch":
-        return ShardedBatch(schema, columns, self.alive, self.mesh, list(self.parts))
+        return ShardedBatch(
+            schema, columns, self.alive, self.mesh, list(self.parts), self.rowid
+        )
 
     def to_device_batch(self) -> DeviceBatch:
         """Collect: gather shards, compact dead rows. Preserves single-device
-        row order (block-contiguous sharding + stable masking)."""
+        row order (block-contiguous sharding + stable masking; rowid-sorted
+        when the physical layout was scrambled by an exchange)."""
         alive = _host(self.alive)
         idx = np.nonzero(alive)[0]
+        if self.rowid is not None and len(idx):
+            idx = idx[np.argsort(_host(self.rowid)[idx], kind="stable")]
         cols = []
         for c in self.columns:
             data = _host(c.data)[idx]
@@ -199,7 +212,9 @@ class DistributedExecutor:
             return self._delegate(op, child)
         (keep,) = execute_exprs_fused([op.predicate], child.view())
         alive = child.alive & keep.data & keep.valid
-        out = ShardedBatch(child.schema, child.columns, alive, self.mesh)
+        out = ShardedBatch(
+            child.schema, child.columns, alive, self.mesh, rowid=child.rowid
+        )
         for p in child.parts:
             k = execute_expr(op.predicate, p)
             out.parts.append(p.take(ew.selection_to_indices(k)))
@@ -234,7 +249,8 @@ class DistributedExecutor:
         bucket_capacity = max(4 * cap // (n_dev * n_dev), 64)
         while True:
             _k, pays, alive, overflow = dist_sort_rows(
-                self.mesh, dkeys, payload, child.alive, bucket_capacity
+                self.mesh, dkeys, payload, child.alive, bucket_capacity,
+                rowid=child.rowid,
             )
             if overflow == 0:
                 break
@@ -255,7 +271,7 @@ class DistributedExecutor:
         scan) masks rows outside the window — SURVEY.md §2.3 'per-host count
         + prefix-sum across hosts'."""
         child = self.execute(op.children[0])
-        if not isinstance(child, ShardedBatch) or child.parts:
+        if not isinstance(child, ShardedBatch) or child.parts or child.rowid is not None:
             return self._delegate(op, child)
         offset = op.offset or 0
         pos = jnp.cumsum(child.alive.astype(jnp.int64)) - 1  # rank among live
@@ -362,7 +378,10 @@ class DistributedExecutor:
         ]
 
         # ---- flatten inputs for shard_map ------------------------------------
+        has_rowid = child.rowid is not None
         arrays: list = [child.alive]
+        if has_rowid:
+            arrays.append(child.rowid)
         key_desc = []  # (orderable_ix, valid_ix, raw_ix)
         for c in key_cols:
             okey, _ = orderable_key(c)
@@ -396,8 +415,11 @@ class DistributedExecutor:
             def local(*arrs):
                 alive = arrs[0]
                 n_local = alive.shape[0]
-                base = jax.lax.axis_index(axis).astype(jnp.int64) * n_local
-                row_idx = base + jnp.arange(n_local, dtype=jnp.int64)
+                if has_rowid:
+                    row_idx = arrs[1]
+                else:
+                    base = jax.lax.axis_index(axis).astype(jnp.int64) * n_local
+                    row_idx = base + jnp.arange(n_local, dtype=jnp.int64)
                 keys = [
                     (arrs[ix], arrs[ix + 1], arrs[ix + 2]) for ix in key_desc
                 ]
@@ -543,9 +565,50 @@ class DistributedExecutor:
         if not isinstance(right, ShardedBatch) or right.parts:
             cache = {id(op.children[1]): self._materialize(right)}
             cache[id(op.children[0])] = self._materialize(self.execute(op.children[0]))
+            self._record_strategy("delegate")
             return _DelegatingExecutor(self.db, cache).execute(op)
-        left = self._materialize(self.execute(op.children[0]))
+        left_res = self.execute(op.children[0])
+        if self._pick_shuffle(op, left_res, right):
+            out = self._shuffle_join_dist(op, left_res, right)
+            if out is not None:
+                return out
+        left = self._materialize(left_res)
+        self._record_strategy("broadcast")
         return self._hash_join_dist(op, left, right)
+
+    def _record_strategy(self, name: str) -> None:
+        """Append the chosen join strategy to db.last_join_strategies (reset
+        per statement by the session layer; tests and EXPLAIN read it)."""
+        log = getattr(self.db, "last_join_strategies", None)
+        if log is None:
+            log = []
+            self.db.last_join_strategies = log
+        log.append(name)
+
+    def _pick_shuffle(self, op, left_res, right: ShardedBatch) -> bool:
+        """Strategy selection from live row counts (the catalog-stats seam):
+        broadcast replicates the build side to every device (cost ~ B x p);
+        the shuffle repartitions both sides once (cost ~ B + N). Shuffle
+        wins when B x (p-1) > N and B is big enough that replication
+        actually hurts. `db.dist_shuffle_min_build` overrides the absolute
+        floor (tests force small joins onto the shuffle path with it)."""
+        if op.join_type != "inner" or not isinstance(left_res, ShardedBatch):
+            return False
+        if left_res.parts or right.parts:
+            return False
+        policy = getattr(self.db, "dist_join_policy", "auto")
+        if policy == "broadcast":
+            return False
+        if policy == "shuffle":  # forced (tests / operator escape hatch)
+            return True
+        n_dev = self.mesh.devices.size
+        build_rows = int(_host(jnp.sum(left_res.alive)))
+        probe_rows = int(_host(jnp.sum(right.alive)))
+        min_build = getattr(self.db, "dist_shuffle_min_build", 1 << 16)
+        return (
+            build_rows >= min_build
+            and build_rows * (n_dev - 1) > probe_rows
+        )
 
     def _semi_anti_dist(self, op: P.PhysicalHashJoin):
         """Distributed mark-join (decorrelated EXISTS / IN): the OUTER side
@@ -580,12 +643,15 @@ class DistributedExecutor:
             # NOT IN / NOT EXISTS over an empty set keeps every row (even
             # NULL probes); semi keeps none
             alive = left.alive if anti else jnp.zeros_like(left.alive)
-            return ShardedBatch(out_schema, left.columns, alive, self.mesh)
+            return ShardedBatch(
+                out_schema, left.columns, alive, self.mesh, rowid=left.rowid
+            )
         if op.null_aware and anti and bool(
             _host(jnp.any(jnp.logical_not(r_col.valid)))
         ):
             return ShardedBatch(
-                out_schema, left.columns, jnp.zeros_like(left.alive), self.mesh
+                out_schema, left.columns, jnp.zeros_like(left.alive), self.mesh,
+                rowid=left.rowid,
             )
         lk, lv = orderable_key(l_col)
         rk, rv = orderable_key(r_col)
@@ -605,8 +671,112 @@ class DistributedExecutor:
         if op.null_aware and anti:
             keep = keep & lv  # NULL probe never passes NOT IN (inner non-empty)
         return ShardedBatch(
-            out_schema, left.columns, left.alive & keep, self.mesh
+            out_schema, left.columns, left.alive & keep, self.mesh,
+            rowid=left.rowid,
         )
+
+    _SHUFFLE_MAX_CELLS = 1 << 27
+
+    def _shuffle_join_dist(
+        self, op, left: ShardedBatch, right: ShardedBatch
+    ) -> Optional[ShardedBatch]:
+        """Partitioned (shuffle-repartition) inner hash join: both sides
+        exchanged by key hash, full payloads carried, skew salted adaptively
+        — parallel/dist_join.py. Returns None to fall back to broadcast when
+        the match width would blow the cell budget (the guardrail seam).
+
+        Bit-exactness: the output ShardedBatch carries
+        rowid = probe_rowid * m + slot, the single-device pair emission
+        sequence; collect and downstream order-sensitive operators sort by
+        it (reference emission order: hash_join.rs:207-250)."""
+        from sqlrs_tpu.ops.hash_table import next_pow2
+        from sqlrs_tpu.ops.sort import orderable_key
+        from sqlrs_tpu.parallel.dist_join import (
+            shuffle_join_phase_a,
+            shuffle_join_phase_b,
+        )
+
+        n_dev = self.mesh.devices.size
+        lview, rview = left.view(), right.view()
+        lkey_cols = execute_exprs_fused([l for l, _ in op.on], lview)
+        rkey_cols = execute_exprs_fused([r for _, r in op.on], rview)
+        b_keys, p_keys = [], []
+        for lc, rc in zip(lkey_cols, rkey_cols):
+            le, lv = orderable_key(lc)
+            re_, rv = orderable_key(rc)
+            re_ = re_.astype(le.dtype)
+            b_keys.append((le, lv))
+            p_keys.append((re_, rv))
+
+        def flatten(cols):
+            pays, bools = [], []
+            for c in cols:
+                is_bool = c.data.dtype == jnp.bool_
+                bools.append(is_bool)
+                pays.append(c.data.astype(jnp.int32) if is_bool else c.data)
+                pays.append(c.valid.astype(jnp.int32))
+            return pays, bools
+
+        b_pay, b_bools = flatten(left.columns)
+        p_pay, p_bools = flatten(right.columns)
+        sh = row_sharding(self.mesh)
+
+        def rid(b: ShardedBatch):
+            if b.rowid is not None:
+                return b.rowid
+            return jax.device_put(
+                jnp.arange(b.capacity, dtype=jnp.int64), sh
+            )
+
+        b_rowid, p_rowid = rid(left), rid(right)
+        cap_b, cap_p = left.capacity, right.capacity
+        bucket_b = max(4 * cap_b // (n_dev * n_dev), 64)
+        bucket_p = max(4 * cap_p // (n_dev * n_dev), 64)
+        hot_capacity = 1024
+        while True:
+            a = shuffle_join_phase_a(
+                self.mesh,
+                b_keys, b_pay, b_rowid, left.alive,
+                p_keys, p_pay, p_rowid, right.alive,
+                bucket_b=bucket_b, bucket_p=bucket_p,
+                hot_capacity=hot_capacity,
+                hot_min=getattr(self.db, "dist_hot_min", None),
+            )
+            if a.overflow == 0:
+                break
+            if bucket_b >= cap_b // n_dev and bucket_p >= cap_p // n_dev:
+                return None  # pragma: no cover - full capacity always fits
+            bucket_b = min(bucket_b * 4, max(cap_b // n_dev, 64))
+            bucket_p = min(bucket_p * 4, max(cap_p // n_dev, 64))
+            hot_capacity = min(hot_capacity * 4, next_pow2(max(cap_b, 64)))
+        m = max(a.m, 1)
+        out_cap = n_dev * n_dev * bucket_p * m
+        if m > self._JOIN_MAX_DUP or out_cap > self._SHUFFLE_MAX_CELLS:
+            return None
+        b_cells, p_cells, rowid_out, alive = shuffle_join_phase_b(
+            self.mesh, a, len(b_keys), len(b_pay)
+        )
+        cols: list[Column] = []
+        for i, c in enumerate(left.columns):
+            data = b_cells[2 * i]
+            if b_bools[i]:
+                data = data.astype(jnp.bool_)
+            cols.append(Column(c.type, data, (b_cells[2 * i + 1] > 0) & alive))
+        for i, c in enumerate(right.columns):
+            data = p_cells[2 * i]
+            if p_bools[i]:
+                data = data.astype(jnp.bool_)
+            cols.append(Column(c.type, data, p_cells[2 * i + 1] > 0))
+        out = ShardedBatch(
+            _schema(op), cols, alive, self.mesh, rowid=rowid_out
+        )
+        if op.filter is not None:
+            (keep,) = execute_exprs_fused([op.filter], out.view())
+            out.alive = out.alive & keep.data & keep.valid
+        self._record_strategy(
+            "salted" if a.n_hot_buckets > 0 else "shuffle"
+        )
+        return out
 
     def _hash_join_dist(self, op, left: DeviceBatch, right: ShardedBatch):
         """Broadcast-build distributed equi join (reference semantics from
@@ -723,7 +893,18 @@ class DistributedExecutor:
             ).reshape(-1)
             alive = alive | ur_flat
 
-        out = ShardedBatch(_schema(op), merged.columns, alive, self.mesh)
+        # probe-major strips keep position order; if the probe side itself
+        # was order-scrambled (rowid set), derive the output's logical order
+        # from it: (probe rowid, slot) is exactly the single-device emission
+        # sequence
+        rowid_out = None
+        if right.rowid is not None:
+            rowid_out = (
+                right.rowid[:, None] * w + jnp.arange(w, dtype=jnp.int64)[None, :]
+            ).reshape(-1)
+        out = ShardedBatch(
+            _schema(op), merged.columns, alive, self.mesh, rowid=rowid_out
+        )
 
         if op.join_type in ("left", "full"):
             visited = (

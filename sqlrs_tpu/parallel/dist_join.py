@@ -1,0 +1,309 @@
+"""Shuffle-repartition distributed hash join carrying full row payloads.
+
+SURVEY.md §2.3 "partitioned hash join": when NEITHER side fits replicated,
+both sides are repartitioned by key hash so every shard joins ~N/p probe
+rows against ~B/p build rows. (The reference's build/probe split is
+hash_join.rs:146-187 — single-process; the broadcast path in
+dist_executor._hash_join_dist replicates the build side, which stops
+scaling once the build side is itself fact-sized, e.g. TPC-H Q9/Q18/Q21.)
+
+Design — two shard_map programs split at the one host sync (the max match
+count m, same two-phase shape as ops/join.equi_join_pairs):
+
+  program A ("exchange + rank"):
+    1. combined splitmix hash over all encoded key columns -> destination
+       shard; rows with NULL keys or dead rows are dropped (inner-join
+       semantics: NULL never matches).
+    2. SKEW IS HANDLED HERE, adaptively: a psum'd 4096-bucket key histogram
+       marks hot buckets (> hot_factor x mean). Hot PROBE rows spread
+       round-robin over all shards; hot BUILD rows are replicated to every
+       shard via all_gather (bounded by hot_capacity) instead of being
+       exchanged. A plain hash shuffle would bottleneck the hot key's owner
+       shard; with salting no (sender, receiver) bucket ever carries a whole
+       hot key. When no bucket is hot the salted path degenerates to the
+       plain shuffle — one code path, data-dependent behavior.
+    3. every (sender, receiver) bucket overflow is COUNTED and returned
+       (never silently dropped); the driver retries with 4x capacities.
+    4. received build rows are sorted by global rowid (dead slots last), so
+       local position order == single-device insertion order; one merged
+       sort (ops/join._pairs_phase_a) then hands every probe row its match
+       range [start, start+count) plus the key-rank -> position permutation.
+  host: m = global max match count (the only sync), overflow check.
+  program B ("expand"): every probe row owns a static m-wide strip of match
+    slots; build columns gather through the permutation, probe columns
+    repeat. Output logical order is rowid_out = probe_rowid * m + slot —
+    exactly the single-device emission sequence (probe-order outer, build
+    insertion order inner, hash_join.rs:207-250), so the collected result
+    is bit-exact including row order (ShardedBatch.rowid machinery).
+
+Every array the SQL layer hands over (any column dtype + validity) rides
+the exchange as payload; bools are cast to int32 by the caller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from sqlrs_tpu.ops.hash_table import _mix64
+from sqlrs_tpu.ops.join import _pairs_phase_a
+from sqlrs_tpu.parallel.dist_ops import _exchange_rows
+
+_N_BUCKETS = 4096
+
+
+@dataclass
+class ShuffleJoinPhaseA:
+    """Host-visible result of program A (arrays stay on device, sharded)."""
+
+    build_arrays: tuple  # key encs, payloads, rowid — rowid-sorted per shard
+    build_mask: jnp.ndarray
+    probe_arrays: tuple  # key encs, payloads, rowid — exchange order
+    probe_mask: jnp.ndarray
+    starts: jnp.ndarray
+    counts: jnp.ndarray
+    order: jnp.ndarray
+    overflow: int
+    n_hot_buckets: int
+    m: int  # global max matches per probe row
+
+
+def _combined_hash(key_pairs):
+    """One well-mixed uint64 per row over all encoded key columns."""
+    h = jnp.full(key_pairs[0][0].shape, 0x9E3779B97F4A7C15, jnp.uint64)
+    for _valid, enc in key_pairs:
+        h = _mix64(h ^ _mix64(enc.astype(jnp.uint64)))
+    return h
+
+
+def shuffle_join_phase_a(
+    mesh,
+    b_keys,  # [(enc int array, valid bool array)] per join key, build side
+    b_payload,  # flat arrays to carry (col data + validity as int32)
+    b_rowid,
+    b_alive,
+    p_keys,
+    p_payload,
+    p_rowid,
+    p_alive,
+    *,
+    bucket_b: int,
+    bucket_p: int,
+    hot_capacity: int,
+    hot_factor: float = 4.0,
+    hot_min: int | None = None,
+    axis="x",
+):
+    # a bucket is hot only when it is BOTH far above the mean and big
+    # enough to threaten a (sender, receiver) bucket: tiny inputs otherwise
+    # mark noise buckets hot and pay replication for nothing
+    if hot_min is None:
+        hot_min = bucket_p
+    n_dev = mesh.shape[axis]
+    nk = len(b_keys)
+    nb_pay = len(b_payload)
+    np_pay = len(p_payload)
+
+    # flat argument layout for shard_map
+    args = [b_alive]
+    for e, v in b_keys:
+        args += [e, v]
+    args += list(b_payload) + [b_rowid, p_alive]
+    for e, v in p_keys:
+        args += [e, v]
+    args += list(p_payload) + [p_rowid]
+
+    def local(*arrs):
+        i = 0
+        ba = arrs[i]; i += 1
+        bk = []
+        for _ in range(nk):
+            bk.append((arrs[i], arrs[i + 1])); i += 2
+        bpay = arrs[i : i + nb_pay]; i += nb_pay
+        brow = arrs[i]; i += 1
+        pa = arrs[i]; i += 1
+        pk = []
+        for _ in range(nk):
+            pk.append((arrs[i], arrs[i + 1])); i += 2
+        ppay = arrs[i : i + np_pay]; i += np_pay
+        prow = arrs[i]; i += 1
+
+        bvalid = ba
+        for e, v in bk:
+            bvalid = bvalid & v
+        pvalid = pa
+        for e, v in pk:
+            pvalid = pvalid & v
+
+        hb = _combined_hash(bk)
+        hp = _combined_hash(pk)
+
+        # ---- adaptive skew detection: psum'd histogram of probe keys ------
+        bucket_p_id = (hp % _N_BUCKETS).astype(jnp.int32)
+        hist = (
+            jnp.zeros((_N_BUCKETS,), jnp.int64)
+            .at[jnp.where(pvalid, bucket_p_id, 0)]
+            .add(pvalid.astype(jnp.int64))
+        )
+        hist = jax.lax.psum(hist, axis)
+        total = jnp.sum(hist)
+        thresh = jnp.maximum(
+            hot_factor * total.astype(jnp.float64) / _N_BUCKETS,
+            jnp.float64(hot_min),
+        )
+        hot = hist.astype(jnp.float64) > thresh
+        n_hot = jnp.sum(hot.astype(jnp.int64))
+
+        # ---- probe exchange: hot rows salted round-robin ------------------
+        n_local = pvalid.shape[0]
+        base_p = (hp % jnp.uint64(n_dev)).astype(jnp.int32)
+        salt = (
+            (jnp.arange(n_local, dtype=jnp.int32) + jax.lax.axis_index(axis))
+            % n_dev
+        )
+        dest_p = jnp.where(hot[bucket_p_id], salt, base_p)
+        dest_p = jnp.where(pvalid, dest_p, n_dev)
+        p_send = tuple(e for e, _ in pk) + tuple(ppay) + (prow,)
+        p_recv, pm, ovf_p = _exchange_rows(p_send, dest_p, n_dev, bucket_p, axis)
+
+        # ---- build exchange: cold rows shuffle, hot rows replicate --------
+        bucket_b_id = (hb % _N_BUCKETS).astype(jnp.int32)
+        b_hot = hot[bucket_b_id] & bvalid
+        dest_b = jnp.where(
+            bvalid & jnp.logical_not(b_hot),
+            (hb % jnp.uint64(n_dev)).astype(jnp.int32),
+            n_dev,
+        )
+        b_send = tuple(e for e, _ in bk) + tuple(bpay) + (brow,)
+        b_cold, bm_cold, ovf_b = _exchange_rows(b_send, dest_b, n_dev, bucket_b, axis)
+        ovf_hot = jnp.maximum(
+            jnp.sum(b_hot.astype(jnp.int64)) - hot_capacity, 0
+        )
+        hot_order = jnp.argsort(jnp.logical_not(b_hot), stable=True)[:hot_capacity]
+        b_hot_rows = tuple(
+            jax.lax.all_gather(a[hot_order], axis).reshape(-1) for a in b_send
+        )
+        hmask = jax.lax.all_gather(b_hot[hot_order], axis).reshape(-1)
+
+        b_all = tuple(
+            jnp.concatenate([c, h]) for c, h in zip(b_cold, b_hot_rows)
+        )
+        bm_all = jnp.concatenate([bm_cold, hmask])
+
+        # ---- sort build by rowid (dead slots last): local position order
+        # becomes the single-device insertion order ------------------------
+        brow_all = b_all[-1]
+        sort_in = (
+            jnp.logical_not(bm_all).astype(jnp.int32),
+            brow_all,
+        ) + tuple(b_all[:-1]) + (bm_all.astype(jnp.int32),)
+        sort_out = jax.lax.sort(sort_in, num_keys=2, is_stable=False)
+        brow_s = sort_out[1]
+        b_sorted = sort_out[2 : 2 + nk + nb_pay]
+        bm_s = sort_out[-1] > 0
+
+        # ---- per-probe match ranges over the rowid-ordered build ----------
+        l_ops = []
+        r_ops = []
+        for j in range(nk):
+            l_ops += [bm_s.astype(jnp.int32), b_sorted[j]]
+            r_ops += [pm.astype(jnp.int32), p_recv[j]]
+        starts, counts, order, _tot = _pairs_phase_a(
+            tuple(l_ops), tuple(r_ops), 2 * nk
+        )
+        m_local = jnp.max(counts)
+
+        overflow = jax.lax.psum(ovf_p + ovf_b + ovf_hot, axis)
+        m_glob = jax.lax.pmax(m_local, axis)
+        return (
+            tuple(b_sorted)
+            + (brow_s, bm_s)
+            + tuple(p_recv)
+            + (pm, starts, counts, order, overflow[None], n_hot[None], m_glob[None])
+        )
+
+    out_specs = (P(axis),) * (nk + nb_pay + 2 + nk + np_pay + 1 + 1 + 3) + (
+        P(), P(), P(),
+    )
+    outs = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * len(args),
+        out_specs=out_specs,
+    )(*args)
+
+    i = 0
+    b_sorted = outs[i : i + nk + nb_pay]; i += nk + nb_pay
+    brow_s = outs[i]; i += 1
+    bm_s = outs[i]; i += 1
+    p_recv = outs[i : i + nk + np_pay + 1]; i += nk + np_pay + 1
+    pm = outs[i]; i += 1
+    starts = outs[i]; i += 1
+    counts = outs[i]; i += 1
+    order = outs[i]; i += 1
+    overflow = int(np.max(np.asarray(outs[i]))); i += 1
+    n_hot = int(np.max(np.asarray(outs[i]))); i += 1
+    m = int(np.max(np.asarray(outs[i])))
+    return ShuffleJoinPhaseA(
+        build_arrays=tuple(b_sorted) + (brow_s,),
+        build_mask=bm_s,
+        probe_arrays=tuple(p_recv),
+        probe_mask=pm,
+        starts=starts,
+        counts=counts,
+        order=order,
+        overflow=overflow,
+        n_hot_buckets=n_hot,
+        m=m,
+    )
+
+
+def shuffle_join_phase_b(
+    mesh, a: ShuffleJoinPhaseA, n_keys: int, n_b_payload: int, axis="x"
+):
+    """Expand match ranges into m-wide probe strips. Returns
+    (build payload cells, probe payload cells, probe rowid cells, alive
+    cells) — all sharded P(axis), flat (local_probe_rows * m per shard).
+
+    rowid_out = probe_rowid * m + slot reproduces the single-device pair
+    emission sequence exactly (see module docstring)."""
+    m = max(a.m, 1)
+    b_pay = a.build_arrays[n_keys : n_keys + n_b_payload]
+    p_pay = a.probe_arrays[n_keys:-1]
+    p_rowid = a.probe_arrays[-1]
+    args = (a.starts, a.counts, a.order, p_rowid) + tuple(b_pay)
+    n_bp = len(b_pay)
+    n_pp = len(p_pay)
+
+    def local(starts, counts, order, prow, *pays):
+        bpays = pays[:n_bp]
+        ppays = pays[n_bp:]
+        nb_local = order.shape[0]
+        j = jnp.arange(m, dtype=jnp.int64)
+        cand_pos = starts[:, None] + j[None, :]
+        cand = order[jnp.clip(cand_pos, 0, max(nb_local - 1, 0))]
+        have = j[None, :] < counts[:, None]
+        out = []
+        for arr in bpays:
+            out.append(arr[cand].reshape(-1))
+        for arr in ppays:
+            out.append(jnp.repeat(arr, m))
+        rowid_out = (prow[:, None] * m + j[None, :]).reshape(-1)
+        return tuple(out) + (rowid_out, have.reshape(-1))
+
+    outs = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * (4 + n_bp + n_pp),
+        out_specs=(P(axis),) * (n_bp + n_pp + 2),
+    )(*(args + tuple(p_pay)))
+    b_cells = outs[:n_bp]
+    p_cells = outs[n_bp : n_bp + n_pp]
+    rowid_out = outs[-2]
+    alive = outs[-1]
+    return b_cells, p_cells, rowid_out, alive

@@ -510,7 +510,8 @@ def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
 
 
 def dist_sort_rows(
-    mesh, dkeys, payload_arrays, alive, bucket_capacity: int, axis="x"
+    mesh, dkeys, payload_arrays, alive, bucket_capacity: int, axis="x",
+    rowid=None,
 ):
     """Distributed ORDER BY over whole rows: sample-sort exchange on the
     FIRST directed key (ties share a value, hence a bucket, so shard i holds
@@ -522,7 +523,10 @@ def dist_sort_rows(
     dkeys: directed orderable key arrays (ops/sort._directed_key output);
     payload_arrays: every row array to carry (column data + validity);
     alive: live-row mask (dead rows are dropped by the exchange — the
-    distributed sort doubles as compaction).
+    distributed sort doubles as compaction);
+    rowid: optional logical row-order array — the tie-break key when the
+    input's physical placement is already scrambled (ShardedBatch.rowid);
+    defaults to the global position index.
 
     Returns (sorted dkeys', payloads', alive', overflow) — overflow > 0
     means some (sender, receiver) bucket exceeded bucket_capacity and the
@@ -540,10 +544,14 @@ def dist_sort_rows(
     def local(alive_l, *arrs):
         nk = len(dkeys)
         keys_l = arrs[:nk]
-        pays_l = arrs[nk:]
         n_local = alive_l.shape[0]
-        base = jax.lax.axis_index(axis).astype(jnp.int64) * n_local
-        rowid = base + jnp.arange(n_local, dtype=jnp.int64)
+        if rowid is None:
+            pays_l = arrs[nk:]
+            base = jax.lax.axis_index(axis).astype(jnp.int64) * n_local
+            rowid_l = base + jnp.arange(n_local, dtype=jnp.int64)
+        else:
+            rowid_l = arrs[nk]
+            pays_l = arrs[nk + 1 :]
 
         first_l = jnp.where(alive_l, keys_l[0], big)
         sorted_first = jnp.sort(first_l)
@@ -559,7 +567,7 @@ def dist_sort_rows(
         )
         dest = jnp.where(alive_l, dest, n_dev)  # dead rows are dropped
 
-        send = tuple(keys_l) + (rowid,) + tuple(pays_l)
+        send = tuple(keys_l) + (rowid_l,) + tuple(pays_l)
         received, mask, overflow = _exchange_rows(
             send, dest, n_dev, bucket_capacity, axis
         )
@@ -580,12 +588,13 @@ def dist_sort_rows(
         s_mask = out[-1] > 0
         return tuple(s_keys) + tuple(s_pays) + (s_mask, jax.lax.psum(overflow, axis)[None])
 
+    extra = () if rowid is None else (rowid,)
     outs = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis),) * (1 + len(dkeys) + len(payload_arrays)),
+        in_specs=(P(axis),) * (1 + len(dkeys) + len(extra) + len(payload_arrays)),
         out_specs=P(axis),
-    )(alive, *dkeys, *payload_arrays)
+    )(alive, *dkeys, *extra, *payload_arrays)
     nk = len(dkeys)
     keys_out = outs[:nk]
     pays_out = outs[nk : nk + len(payload_arrays)]

@@ -175,6 +175,7 @@ class Database:
         if self.mesh is not None:
             from sqlrs_tpu.parallel.dist_executor import DistributedExecutor
 
+            self.last_join_strategies = []  # strategy picks, in exec order
             batch = DistributedExecutor(self, self.mesh, profile=profile).run(phys)
         else:
             batch = Executor(self, profile=profile).execute(phys)

@@ -188,3 +188,44 @@ def test_distributed_order_by_scale():
         "select v from s order by v limit 17 offset 5",
     ]:
         assert db8.run_lines(sql) == db1.run_lines(sql), sql
+
+
+def test_distributed_skew_routes_through_salted():
+    """A zipf-hot fact key must trip the adaptive skew detector inside the
+    shuffle join (hot probe rows salted round-robin, hot build rows
+    replicated) and still produce bit-exact results + first-appearance
+    group order (VERDICT round-2 item 3's skew case)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, g = 6000, 50
+    gid = np.where(rng.random(n) < 0.7, 0, rng.integers(1, g, n))
+    vals = rng.integers(0, 1000, n)
+    rows_f = ",".join(f"({k * 3 + 1},{v})" for k, v in zip(gid, vals))
+    rows_d = ",".join(f"({k * 3 + 1},{k * 7})" for k in range(g))
+    ddl = [
+        "create table fact(k int, v int)",
+        "create table dim(k int, d int)",
+        f"insert into fact values {rows_f}",
+        f"insert into dim values {rows_d}",
+    ]
+    # dim first: the planner's left child is the BUILD side (reference
+    # hash_join.rs:146), so the skewed fact table is the probe side — the
+    # direction the salted exchange is designed for (hot PROBE rows spread
+    # round-robin; a fact-side build would instead blow the m-strip width
+    # and correctly fall back to broadcast)
+    q = (
+        "select dim.d, sum(fact.v), count(*) from dim join fact"
+        " on fact.k = dim.k group by dim.d"
+    )
+    db1 = Database()
+    db8 = Database(n_devices=8)
+    db8.dist_join_policy = "shuffle"
+    db8.dist_hot_min = 16  # trip hotness at test scale
+    for db in (db1, db8):
+        for s in ddl:
+            db.run(s)
+    exp = [tuple(r) for b in db1.run(q) for r in b.to_pylist()]
+    got = [tuple(r) for b in db8.run(q) for r in b.to_pylist()]
+    assert got == exp
+    assert "salted" in db8.last_join_strategies, db8.last_join_strategies
