@@ -110,6 +110,9 @@ class Executor:
         return child.take(idx)
 
     def _exec_Limit(self, op: P.PhysicalLimit) -> DeviceBatch:
+        out = self._streaming_limit(op)
+        if out is not None:
+            return out
         child = self.execute(op.children[0])
         offset = op.offset or 0
         start = min(offset, child.num_rows)
@@ -117,6 +120,52 @@ class Executor:
         if op.limit is not None:
             count = min(op.limit, count)
         return child.slice(start, count)
+
+    def _streaming_limit(self, op: P.PhysicalLimit) -> DeviceBatch | None:
+        """LIMIT k over a pure row-wise pipeline (Projection/Filter chain on
+        an unbounded TableScan) executes the scan in geometrically growing
+        chunks and stops as soon as offset+k rows survive — the per-batch
+        LIMIT windowing + early stop of the reference's pull model
+        (reference src/executor/limit.rs:31-70, storage/csv.rs:206-232)
+        re-expressed for whole-batch execution: filters/projections compute
+        over O(result) rows, never O(table). Returns None when the child
+        pipeline isn't streamable (joins, aggregates, ORDER BY need their
+        whole input; the reference breaks its pipeline there too)."""
+        import dataclasses
+
+        if op.limit is None:
+            return None
+        need = (op.offset or 0) + op.limit
+        chain: list[P.PhysicalOperator] = []
+        node = op.children[0]
+        while isinstance(node, (P.PhysicalProjection, P.PhysicalFilter)):
+            chain.append(node)
+            node = node.children[0]
+        if not isinstance(node, P.PhysicalTableScan) or node.bounds is not None:
+            return None
+        chunk = max(1024, 2 * need)
+        start_row, parts, got = 0, [], 0
+        while got < need or not parts:  # LIMIT 0 still needs the schema
+            scan = dataclasses.replace(node, bounds=(start_row, chunk))
+            piece = self.execute(scan)
+            exhausted = piece.num_rows < chunk
+            for c in reversed(chain):
+                if isinstance(c, P.PhysicalFilter):
+                    (keep,) = execute_exprs_fused([c.predicate], piece)
+                    piece = piece.take(ew.selection_to_indices(keep))
+                else:
+                    cols = execute_exprs_fused(c.exprs, piece)
+                    piece = DeviceBatch(_schema(c), cols, piece.num_rows)
+            parts.append(piece)
+            got += piece.num_rows
+            start_row += chunk
+            chunk *= 2
+            if exhausted:
+                break
+        batch = parts[0] if len(parts) == 1 else DeviceBatch.concat(parts)
+        offset = op.offset or 0
+        first = min(offset, batch.num_rows)
+        return batch.slice(first, min(op.limit, batch.num_rows - first))
 
     def _exec_Order(self, op: P.PhysicalOrder) -> DeviceBatch:
         child = self.execute(op.children[0])

@@ -55,3 +55,40 @@ CASES = [
 @pytest.mark.parametrize("sql,expected", CASES, ids=[c[0][:48] for c in CASES])
 def test_extended_sql(db, sql, expected):
     assert db.run_lines(sql) == expected
+
+
+def test_streaming_limit_touches_chunks_not_table():
+    """LIMIT over a scan→filter pipeline must execute in bounded chunks
+    (reference limit.rs:31-70 early-stops its pull stream): the profiled
+    TableScan row counts stay O(limit-chunk), never O(table)."""
+    import numpy as np
+
+    import sqlrs_tpu
+    from sqlrs_tpu.data import DeviceBatch, Schema
+    from sqlrs_tpu.types import LogicalType as LT
+
+    db = sqlrs_tpu.Database(profile=True)
+    n = 300_000
+    db.create_memory_table(
+        "big",
+        DeviceBatch.from_pydict(
+            Schema.of([("a", LT.BIGINT)]), {"a": list(range(n))}
+        ),
+    )
+    batches = db.run("select a from big where a % 2 = 0 limit 10")
+    rows = [t[0] for b in batches for t in b.to_pylist()]
+    assert rows == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+    scanned = sum(
+        s.rows_out
+        for s in db.last_profile.ops
+        if s.op.lstrip().startswith("TableScan")
+    )
+    assert 0 < scanned <= 4096, scanned
+
+    # offset + exhaustion: limit window past the end of the table
+    batches = db.run("select a from big where a < 5 limit 10 offset 3")
+    rows = [t[0] for b in batches for t in b.to_pylist()]
+    assert rows == [3, 4]
+    # limit 0 keeps the schema and returns no rows
+    (empty,) = db.run("select a from big limit 0")
+    assert empty.num_rows == 0 and empty.schema.names == ["a"]
