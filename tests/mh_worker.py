@@ -1,11 +1,18 @@
-"""2-process multi-host worker (driven by tests/test_multihost.py).
+"""Multi-host worker (driven by tests/test_multihost.py).
 
-Each process owns 4 virtual CPU devices; after
-`initialize_distributed` the flat data mesh spans all 8 devices across the
-two processes and every distributed kernel (shuffle / salted / ring
-join+group-by, sample-sort) plus the SQL-level DistributedExecutor runs
-over a genuinely multi-process mesh — the CPU stand-in for a multi-host
-TPU pod slice (SURVEY.md §2.3 collective backend)."""
+argv: pid port [nprocs=2] [devices_per_proc=4] [mode=kernels]
+
+Each process owns `devices_per_proc` virtual CPU devices; after
+`initialize_distributed` the flat data mesh spans all of them across the
+processes — the CPU stand-in for a multi-host TPU pod slice (SURVEY.md
+§2.3 collective backend). Modes:
+
+  kernels: every distributed kernel (shuffle / salted / ring
+    join+group-by, sample-sort), a hierarchical hosts×devices mesh, and a
+    SQL join+agg through the DistributedExecutor.
+  tpch: a real TPC-H query (Q3: 3-table join + group-by + ORDER BY +
+    LIMIT) plus a null-aware NOT IN (anti mark-join) and a distributed
+    ORDER BY, each bit-exact vs an in-process single-device run."""
 
 import os
 import sys
@@ -13,7 +20,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={sys.argv[4] if len(sys.argv) > 4 else 4}"
+)
 
 import jax  # noqa: E402
 
@@ -23,6 +32,8 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> None:
     pid = int(sys.argv[1])
     port = sys.argv[2]
+    nprocs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    mode = sys.argv[5] if len(sys.argv) > 5 else "kernels"
 
     # distributed init must precede ANY backend-initializing jax call —
     # including the engine import (sqlrs_tpu's package import touches the
@@ -33,14 +44,19 @@ def main() -> None:
     except Exception:
         pass
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nprocs, process_id=pid
     )
     import sqlrs_tpu  # noqa: F401  (x64)
     from sqlrs_tpu.parallel.mesh import initialize_distributed, make_mesh
 
     # the engine-level helper must be a no-op once the runtime is live
     initialize_distributed()
-    assert jax.process_count() == 2
+    assert jax.process_count() == nprocs
+
+    if mode == "tpch":
+        _tpch_mode(pid)
+        return
+
     assert len(jax.devices()) == 8
 
     import numpy as np
@@ -140,6 +156,39 @@ def main() -> None:
         "select count(*), sum(v) from fact join dim on fact.k = dim.k where v >= 0"
     )
     assert line == f"{n} {expect_total}", line
+
+    print(f"MH_OK pid={pid}", flush=True)
+
+
+def _tpch_mode(pid: int) -> None:
+    """A real TPC-H query over the multi-process mesh, bit-exact vs an
+    in-process single-device run (VERDICT round-2 item 8): Q3 covers the
+    3-table join + group-by + ORDER BY + LIMIT chain; the NOT IN statement
+    covers the distributed anti mark-join; the bare ORDER BY covers
+    dist_sort_rows tie order across processes."""
+    from benchmarks import tpch_dbgen, tpch_queries
+    from sqlrs_tpu import Database
+    from sqlrs_tpu.parallel.mesh import make_mesh
+
+    tables = tpch_dbgen.gen_tables(0.01, seed=7)  # deterministic everywhere
+
+    db1 = Database()  # local single-device oracle
+    tpch_dbgen.load_into(db1, tables)
+    dbm = Database(mesh=make_mesh())
+    tpch_dbgen.load_into(dbm, tables)
+
+    checks = [
+        tpch_queries.ALL[3],
+        "select o_custkey from orders where o_custkey not in "
+        "(select c_custkey from customer where c_acctbal < 0) "
+        "order by o_custkey limit 20",
+        "select l_orderkey, l_linenumber from lineitem "
+        "order by l_extendedprice desc, l_orderkey limit 15",
+    ]
+    for sql in checks:
+        exp = db1.run_lines(sql)
+        got = dbm.run_lines(sql)
+        assert got == exp, f"{sql[:60]}...: {got[:3]} != {exp[:3]}"
 
     print(f"MH_OK pid={pid}", flush=True)
 
