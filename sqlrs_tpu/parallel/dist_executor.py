@@ -343,6 +343,9 @@ class DistributedExecutor:
     # ---- grouped aggregation: shard-local sorted partials + O(G) all_gather -------
 
     def _dexec_HashAgg(self, op: P.PhysicalHashAgg):
+        fused = self._try_ring_agg_join(op)
+        if fused is not None:
+            return fused
         child = self.execute(op.children[0])
         if (
             not isinstance(child, ShardedBatch)
@@ -351,6 +354,247 @@ class DistributedExecutor:
         ):
             return self._delegate(op, child)
         return self._grouped_agg_dist(op, child)
+
+    def _try_ring_agg_join(self, op: P.PhysicalHashAgg):
+        """Fused ring aggregate-over-join (SURVEY §2.3 pipeline parallelism,
+        made SQL-reachable): HashAgg directly over an inner single-key
+        HashJoin, where every group key reads the build (dim) side and every
+        aggregate argument reads the probe (fact) side, computes per-dim-row
+        partials with parallel/dist_join.ring_agg_join — the join's pair set
+        is NEVER materialized, no data is exchanged (the dim chunk rotates
+        via ppermute, overlapped with probe compute), and the result feeds
+        the standard distributed grouped-agg as a tiny dim-sized batch whose
+        rowid = (min matching fact row, dim position) reproduces the
+        reference's first-appearance group order (hash_agg.rs:85-111 over
+        hash_join.rs:207-250 emission order) exactly.
+
+        Returns None (caller falls back to join-then-agg) when the pattern
+        or the policy doesn't fit. Policy: db.dist_join_policy == 'ring'
+        forces it; 'auto' uses it when the build side has at least
+        db.dist_ring_min_build (default 2^16) live rows — the regime where
+        broadcast would replicate a fact-sized build table."""
+        from sqlrs_tpu.binder.expression import (
+            BoundAggregate,
+            BoundReference,
+            visit_expr,
+        )
+        from sqlrs_tpu.ops.sort import orderable_key
+        from sqlrs_tpu.parallel.dist_join import ring_agg_join
+
+        from sqlrs_tpu.binder.expression import rewrite_expr
+
+        policy = getattr(self.db, "dist_join_policy", "auto")
+        if policy in ("broadcast", "shuffle"):
+            return None
+        # see through column-pruning Projection chains between agg and join
+        # by composing expressions (substitute refs with the projection's
+        # exprs, level by level — rewrite_expr never recurses into a
+        # replacement, so each level substitutes exactly once)
+        node = op.children[0]
+        proj_stack = []
+        while isinstance(node, P.PhysicalProjection):
+            proj_stack.append(node.exprs)
+            node = node.children[0]
+        jop = node
+        if not isinstance(jop, P.PhysicalHashJoin):
+            return None
+        if jop.join_type != "inner" or len(jop.on) != 1 or jop.filter is not None:
+            return None
+        if any(a.distinct or a.function_name == "avg" for a in op.aggregates):
+            return None
+
+        def compose(e):
+            for exprs in proj_stack:
+                e = rewrite_expr(
+                    e,
+                    lambda x: exprs[x.index]
+                    if isinstance(x, BoundReference)
+                    else None,
+                )
+            return e
+
+        groups = [compose(g) for g in op.groups]
+        aggregates = [
+            a if a.arg is None else a.with_children((compose(a.arg),))
+            for a in op.aggregates
+        ]
+        nb = len(jop.children[0].names)
+
+        def side(exprs):
+            lo, hi = [None], [None]
+
+            def f(e):
+                if isinstance(e, BoundReference):
+                    lo[0] = e.index if lo[0] is None else min(lo[0], e.index)
+                    hi[0] = e.index if hi[0] is None else max(hi[0], e.index)
+
+            for e in exprs:
+                visit_expr(e, f)
+            return lo[0], hi[0]
+
+        glo, ghi = side(groups)
+        alo, ahi = side([a.arg for a in aggregates if a.arg is not None])
+        if glo is None or ghi >= nb:  # group keys must be build-side
+            return None
+        if alo is not None and alo < nb:  # agg args must be probe-side
+            return None
+
+        left = self.execute(jop.children[0])
+        right = self.execute(jop.children[1])
+        ok = (
+            isinstance(left, ShardedBatch)
+            and isinstance(right, ShardedBatch)
+            and not left.parts
+            and not right.parts
+            and left.rowid is None
+            and right.rowid is None
+        )
+        if ok and policy == "auto":
+            min_build = getattr(self.db, "dist_ring_min_build", 1 << 16)
+            ok = int(_host(jnp.sum(left.alive))) >= min_build
+        if not ok:
+            # fall back: re-dispatch through the normal agg-over-join path
+            # (children re-execute; they are scan/filter chains here)
+            child = self.execute(op.children[0])
+            if (
+                not isinstance(child, ShardedBatch)
+                or child.parts
+                or any(a.distinct for a in op.aggregates)
+            ):
+                return self._delegate(op, child)
+            return self._grouped_agg_dist(op, child)
+
+        lview, rview = left.view(), right.view()
+        (d_col,) = execute_exprs_fused([jop.on[0][0]], lview)
+
+        def shift(e):
+            from sqlrs_tpu.binder.expression import rewrite_expr
+
+            return rewrite_expr(
+                e,
+                lambda x: BoundReference(x.index - nb, x.type, x.column_name)
+                if isinstance(x, BoundReference)
+                else None,
+            )
+
+        # join `on` sides are resolved against their own child (resolver
+        # _resolve_against per child); only agg args / group keys index the
+        # merged left++right join output and need the probe-side shift
+        (f_col,) = execute_exprs_fused([jop.on[0][1]], rview)
+        group_cols = execute_exprs_fused(groups, lview)
+        agg_args = [
+            execute_exprs_fused([shift(a.arg)], rview)[0]
+            if a.arg is not None
+            else None
+            for a in aggregates
+        ]
+
+        d_enc, d_kv = orderable_key(d_col)
+        f_enc, f_kv = orderable_key(f_col)
+        f_enc = f_enc.astype(d_enc.dtype)
+        f_ok = right.alive & f_kv
+        d_ok = left.alive & d_kv
+        sh = row_sharding(self.mesh)
+        f_rowid = jax.device_put(
+            jnp.arange(right.capacity, dtype=jnp.int64), sh
+        )
+
+        # per-aggregate partial layout: sum/count -> one sum column (+ a
+        # validity-count column so all-NULL partials stay NULL); min/max ->
+        # one (directed key, raw) sort + a validity-count column
+        sum_cols: list = []
+        mm_specs: list = []
+        plan = []  # (kind, sum_ix, vcnt_ix, mm_ix)
+        for a, c in zip(aggregates, agg_args):
+            if a.arg is None:
+                plan.append(("count_star", None, None, None))
+                continue
+            name = a.function_name
+            if name == "count":
+                plan.append(("count", len(sum_cols), None, None))
+                sum_cols.append(c.valid.astype(jnp.int64))
+            elif name == "sum":
+                acc_dt = numpy_dtype_for(a.return_type())
+                plan.append(("sum", len(sum_cols), len(sum_cols) + 1, None))
+                sum_cols.append(
+                    jnp.where(c.valid, c.data.astype(acc_dt), 0)
+                )
+                sum_cols.append(c.valid.astype(jnp.int64))
+            else:  # min / max
+                enc, vv = orderable_key(c)
+                enc = enc.astype(jnp.int64)
+                if name == "max":
+                    enc = ~enc
+                mk = jnp.where(vv & right.alive, enc, jnp.iinfo(jnp.int64).max)
+                plan.append((name, None, len(sum_cols), len(mm_specs)))
+                sum_cols.append((vv & right.alive).astype(jnp.int64))
+                mm_specs.append((mk, c.data))
+
+        counts, sums, min_rowid, mm_outs = ring_agg_join(
+            self.mesh, f_enc, f_ok, f_rowid, sum_cols, mm_specs,
+            d_enc, d_ok,
+        )
+
+        # ---- dim-sized partial batch + standard distributed grouped agg ----
+        ng = len(groups)
+        part_cols = list(group_cols)
+        aggs2 = []
+        always = jnp.ones((left.capacity,), jnp.bool_)
+        for i, ((kind, six, vix, mix), a) in enumerate(zip(plan, aggregates)):
+            rt = a.return_type()
+            if kind == "count_star":
+                part_cols.append(Column(rt, counts, always))
+                fn2 = "sum"
+            elif kind == "count":
+                part_cols.append(Column(rt, sums[six], always))
+                fn2 = "sum"
+            elif kind == "sum":
+                part_cols.append(
+                    Column(rt, sums[six].astype(numpy_dtype_for(rt)),
+                           sums[vix] > 0)
+                )
+                fn2 = "sum"
+            else:  # min / max
+                raw, _mk = mm_outs[mix]
+                part_cols.append(Column(rt, raw, sums[vix] > 0))
+                fn2 = kind
+            aggs2.append(
+                BoundAggregate(
+                    fn2,
+                    BoundReference(ng + i, rt, a.name()),
+                    False,
+                    rt,
+                )
+            )
+        # pair order: (first matching fact row, dim position); guard the
+        # packing against int64 overflow at absurd capacities
+        if right.capacity * left.capacity >= (1 << 62):
+            return None  # pragma: no cover - capacities beyond packing range
+        pos = jax.device_put(jnp.arange(left.capacity, dtype=jnp.int64), sh)
+        pair_rowid = jnp.where(
+            counts > 0,
+            min_rowid * left.capacity + pos,
+            jnp.iinfo(jnp.int64).max,
+        )
+        schema2 = Schema.of(
+            [(f"g{i}", c.type) for i, c in enumerate(part_cols)]
+        )
+        partial = ShardedBatch(
+            schema2, part_cols, d_ok & (counts > 0), self.mesh,
+            rowid=pair_rowid,
+        )
+        op2 = P.PhysicalHashAgg(
+            children=[],
+            names=list(op.names),
+            types=list(op.types),
+            groups=[
+                BoundReference(i, c.type, f"g{i}")
+                for i, c in enumerate(part_cols[:ng])
+            ],
+            aggregates=aggs2,
+        )
+        self._record_strategy("ring")
+        return self._grouped_agg_dist(op2, partial)
 
     def _grouped_agg_dist(self, op, child: ShardedBatch) -> DeviceBatch:
         """Two-phase distributed GROUP BY: per-shard fixed-capacity sorted

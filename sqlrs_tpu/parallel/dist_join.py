@@ -55,6 +55,8 @@ from sqlrs_tpu.ops.join import _pairs_phase_a
 from sqlrs_tpu.parallel.dist_ops import _exchange_rows
 
 _N_BUCKETS = 4096
+_BLK = 128
+_MAXK = jnp.int64(np.iinfo(np.int64).max)
 
 
 @dataclass
@@ -307,3 +309,221 @@ def shuffle_join_phase_b(
     rowid_out = outs[-2]
     alive = outs[-1]
     return b_cells, p_cells, rowid_out, alive
+
+
+# ---- fused ring aggregate-over-join ------------------------------------------
+
+
+def _blockify(arr, fill):
+    """Pad to a multiple of 128 and reshape to (n_blocks, 128)."""
+    n = arr.shape[0]
+    pad = (-n) % _BLK
+    if pad:
+        arr = jnp.concatenate([arr, jnp.full((pad,), fill, arr.dtype)])
+    return arr.reshape(-1, _BLK)
+
+
+def ring_agg_join(
+    mesh,
+    f_enc,      # int64 encoded fact join key, P(axis)
+    f_ok,       # bool: fact row participates (alive & key valid), P(axis)
+    f_rowid,    # int64 global fact row position, P(axis)
+    sum_cols,   # list of arrays to range-sum (pre-masked: invalid -> 0)
+    mm_specs,   # list of (mm_key int64 directed+invalid-masked, raw) pairs
+    d_enc,      # int64 encoded dim join key, P(axis)
+    d_ok,       # bool: dim row alive & key valid, P(axis)
+    axis="x",
+):
+    """Fused ring join + per-dim-row aggregation: the SQL-reachable
+    generalization of dist_join_groupby_ring (SURVEY.md §2.3 "pipeline
+    parallelism"). ONE shard_map program, no host syncs, no exchange and
+    hence no overflow/retry: fact rows never move; the dim chunk rotates
+    around the ring via lax.ppermute (issued before the probe compute it
+    does not depend on, so XLA overlaps transfer with compute), and each
+    shard answers the resident chunk's per-key range queries against its
+    locally sorted fact rows.
+
+    Per dim row (aligned with the dim side's P(axis) layout) returns:
+      counts    int64: matching fact rows (count(*) partial)
+      sums      one array per sum_cols entry: range sums (sum / count(col)
+                partials — count(col) is the sum of col's validity ints)
+      min_rowid int64: minimum fact rowid among matches (INT64_MAX when
+                none) — the first-appearance order seed
+      mm_outs   one (raw, mm_key) pair per mm_specs entry: the raw value
+                whose directed key is minimal in the row's match range
+                (min -> encode ascending, max -> bitwise-NOT the encoding;
+                invalid rows must be pre-masked to INT64_MAX so they sort
+                after every real value)
+
+    The sums ride the same base sort as the ranks: the fact side is sorted
+    once by (key, rowid) carrying every sum column as payload (variadic
+    sort cost is ~flat in operand count — CLAUDE.md), each min/max column
+    adds one extra (key, mm_key) sort, and every range answer is a
+    prefix-sum difference or a single gather at the range start.
+    """
+    from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
+
+    n_dev = mesh.shape[axis]
+    n_sum = len(sum_cols)
+    n_mm = len(mm_specs)
+    d_cap = d_enc.shape[0]
+    chunk = d_cap // n_dev
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    args = (
+        [f_enc, f_ok, f_rowid]
+        + list(sum_cols)
+        + [a for pair in mm_specs for a in pair]
+        + [d_enc, d_ok]
+    )
+
+    def local(f_enc_l, f_ok_l, f_rowid_l, *rest):
+        scols = rest[:n_sum]
+        mmflat = rest[n_sum : n_sum + 2 * n_mm]
+        d_enc_l, d_ok_l = rest[-2:]
+        n_local = f_enc_l.shape[0]
+        key = jnp.where(f_ok_l, f_enc_l, _MAXK)
+
+        # ---- base sort: (key, rowid) + sum payloads -----------------------
+        base = jax.lax.sort(
+            (key, f_rowid_l) + tuple(scols), num_keys=2
+        )
+        ks, rid_s = base[0], base[1]
+        k2d = _blockify(ks, _MAXK)
+        nb = k2d.shape[0]
+        sum_tables = []
+        for sv in base[2:]:
+            v2d = _blockify(sv, jnp.zeros((), sv.dtype))
+            bs = jnp.sum(v2d, axis=1)
+            bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
+            sum_tables.append((v2d, bp))
+
+        # ---- one extra sort per min/max column ----------------------------
+        mm_sorted = []  # (mm_key_sorted, raw_sorted)
+        for j in range(n_mm):
+            mk, raw = mmflat[2 * j], mmflat[2 * j + 1]
+            _, mk_s, raw_s = jax.lax.sort((key, mk, raw), num_keys=2)
+            mm_sorted.append((mk_s, raw_s))
+
+        lane = jnp.arange(_BLK, dtype=jnp.int32)
+
+        def prefix_at(tbl, pos):
+            v2d, bp = tbl
+            b = pos // _BLK
+            rem = (pos % _BLK).astype(jnp.int32)
+            rows = v2d[jnp.clip(b, 0, nb - 1)]
+            part = jnp.sum(
+                jnp.where(lane[None, :] < rem[:, None], rows, 0), axis=1
+            )
+            return bp[b] + part
+
+        big_rid = jnp.int64(np.iinfo(np.int64).max)
+        pos0 = jax.lax.axis_index(axis).astype(jnp.int64) * chunk
+
+        def step(carry, _):
+            d_enc_c, d_pos_c, d_ok_c, accs = carry
+            # next chunk's transfer first: independent of the range queries,
+            # so the ppermute overlaps the probe compute below
+            d_enc_n = jax.lax.ppermute(d_enc_c, axis, perm)
+            d_pos_n = jax.lax.ppermute(d_pos_c, axis, perm)
+            d_ok_n = jax.lax.ppermute(d_ok_c, axis, perm)
+
+            dlo = jnp.where(d_ok_c, d_enc_c, _MAXK)
+            dhi = jnp.where(d_ok_c, d_enc_c + 1, _MAXK)
+            g = dlo.shape[0]
+            ranks = _sorted_ranks_left(k2d, jnp.concatenate([dlo, dhi]))
+            lo, hi = ranks[:g], ranks[g:]
+            cnt = hi - lo
+            lo_c = jnp.clip(lo, 0, max(n_local - 1, 0))
+
+            # each dim position is resident exactly once per shard, so the
+            # scatters below hit disjoint targets across the n_dev steps
+            tgt = jnp.where(d_ok_c, d_pos_c, d_cap)
+            (cnt_a, rid_a, sum_as, mm_as) = accs
+            cnt_a = cnt_a.at[tgt].add(cnt)
+            rid_a = rid_a.at[tgt].min(
+                jnp.where(cnt > 0, rid_s[lo_c], big_rid)
+            )
+            sum_as = tuple(
+                a.at[tgt].add(prefix_at(tbl, hi) - prefix_at(tbl, lo))
+                for a, tbl in zip(sum_as, sum_tables)
+            )
+            # disjoint targets ⇒ plain masked writes; rows with no match
+            # keep the MAXK/zero initializers
+            tgt_hit = jnp.where(d_ok_c & (cnt > 0), d_pos_c, d_cap)
+            mm_as = tuple(
+                (
+                    ka.at[tgt_hit].set(mk_s[lo_c]),
+                    ra.at[tgt_hit].set(raw_s[lo_c]),
+                )
+                for (ka, ra), (mk_s, raw_s) in zip(mm_as, mm_sorted)
+            )
+            return (d_enc_n, d_pos_n, d_ok_n, (cnt_a, rid_a, sum_as, mm_as)), None
+
+        vary = jnp.sum(f_rowid_l) * 0  # make accumulators mesh-axis-varying
+        init_accs = (
+            jnp.zeros((d_cap + 1,), jnp.int64) + vary,
+            jnp.full((d_cap + 1,), big_rid) + vary,
+            tuple(
+                jnp.zeros((d_cap + 1,), sv.dtype) + vary.astype(sv.dtype)
+                for sv in scols
+            ),
+            tuple(
+                (
+                    jnp.full((d_cap + 1,), _MAXK) + vary,
+                    jnp.zeros((d_cap + 1,), raw.dtype)
+                    + vary.astype(raw.dtype),
+                )
+                for _mk, raw in mm_sorted
+            ),
+        )
+        d_pos_l = pos0 + jnp.arange(chunk, dtype=jnp.int64)
+        (_, _, _, accs), _ = jax.lax.scan(
+            step, (d_enc_l, d_pos_l, d_ok_l, init_accs), None, length=n_dev
+        )
+        cnt_a, rid_a, sum_as, mm_as = accs
+
+        # ---- cross-shard combine + slice own chunk ------------------------
+        idx = jax.lax.axis_index(axis)
+        start = (idx * chunk,)
+
+        def own(a):
+            return jax.lax.dynamic_slice(a[:d_cap], start, (chunk,))
+
+        cnt_g = own(jax.lax.psum(cnt_a[:d_cap], axis))
+        rid_g = own(jax.lax.pmin(rid_a[:d_cap], axis))
+        sums_g = tuple(own(jax.lax.psum(a[:d_cap], axis)) for a in sum_as)
+        mm_g = []
+        for ka, ra in mm_as:
+            kk = ka[:d_cap]
+            gmin = jax.lax.pmin(kk, axis)
+            mine = kk == gmin
+            shard_sel = jax.lax.pmin(
+                jnp.where(mine, idx, n_dev).astype(jnp.int32), axis
+            )
+            raw_g = jax.lax.psum(
+                jnp.where(
+                    mine & (shard_sel == idx), ra[:d_cap],
+                    jnp.zeros((), ra.dtype),
+                ),
+                axis,
+            )
+            mm_g.append((own(raw_g), own(gmin)))
+        return (
+            (cnt_g, rid_g)
+            + sums_g
+            + tuple(a for pair in mm_g for a in pair)
+        )
+
+    outs = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * len(args),
+        out_specs=(P(axis),) * (2 + n_sum + 2 * n_mm),
+    )(*args)
+    counts, min_rowid = outs[0], outs[1]
+    sums = outs[2 : 2 + n_sum]
+    mm_outs = [
+        (outs[2 + n_sum + 2 * j], outs[2 + n_sum + 2 * j + 1])
+        for j in range(n_mm)
+    ]
+    return counts, sums, min_rowid, mm_outs

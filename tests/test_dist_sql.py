@@ -229,3 +229,56 @@ def test_distributed_skew_routes_through_salted():
     got = [tuple(r) for b in db8.run(q) for r in b.to_pylist()]
     assert got == exp
     assert "salted" in db8.last_join_strategies, db8.last_join_strategies
+
+
+def test_ring_agg_over_join():
+    """Fused ring aggregate-over-join (parallel/dist_join.ring_agg_join):
+    HashAgg over an inner single-key join with build-side group keys and
+    probe-side aggregates routes through the exchange-free ppermute ring
+    and stays bit-exact — results, NULL semantics (NULL agg inputs, NULL
+    join keys, all-NULL groups), duplicate dim keys, unmatched dim rows,
+    and first-appearance group order included."""
+    rows_d = ",".join(f"({k % 7},{k},{(k * 13) % 5})" for k in range(20))
+    parts = []
+    for i in range(300):
+        k = "null" if i % 37 == 0 else str(i % 9)
+        v = "null" if i % 11 == 0 else str(i)
+        sv = "null" if i % 13 == 0 else f"'w{i % 23:02d}'"
+        parts.append(f"({k},{v},{sv})")
+    ddl = [
+        "create table dim(k int, u int, g int)",
+        "create table fact(k int, v int, s varchar)",
+        f"insert into dim values {rows_d}",
+        f"insert into fact values {','.join(parts)}",
+    ]
+    qs = [
+        # multi-aggregate, duplicate dim join keys, NULLs in v and k
+        "select dim.g, sum(fact.v), count(*), count(fact.v), min(fact.v),"
+        " max(fact.v) from dim join fact on fact.k = dim.k group by dim.g",
+        # join key == group key, unmatched dim rows must vanish
+        "select dim.u, sum(fact.v) from dim join fact on fact.k = dim.u"
+        " group by dim.u",
+        # enclosing order/limit over the fused result
+        "select dim.g, count(*) from dim join fact on fact.k = dim.k"
+        " group by dim.g order by count(*) desc, dim.g limit 3",
+        # VARCHAR min/max (rank-encoded sort keys, code raws)
+        "select dim.g, min(fact.s), max(fact.s) from dim join fact"
+        " on fact.k = dim.k group by dim.g",
+    ]
+    db1 = Database()
+    db8 = Database(n_devices=8)
+    db8.dist_join_policy = "ring"
+    for db in (db1, db8):
+        for s in ddl:
+            db.run(s)
+    for q in qs:
+        assert db8.run_lines(q) == db1.run_lines(q), q
+        assert "ring" in db8.last_join_strategies, (q, db8.last_join_strategies)
+    # auto policy keeps small builds on broadcast (ring gated by
+    # dist_ring_min_build), and the gate is overridable
+    db8.dist_join_policy = "auto"
+    assert db8.run_lines(qs[0]) == db1.run_lines(qs[0])
+    assert db8.last_join_strategies == ["broadcast"]
+    db8.dist_ring_min_build = 1
+    assert db8.run_lines(qs[0]) == db1.run_lines(qs[0])
+    assert db8.last_join_strategies == ["ring"]
