@@ -10,6 +10,8 @@ kernels in sqlrs_tpu/ops/.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 import jax
@@ -552,21 +554,41 @@ class Executor:
             left_keys = [c.mask_invalid(l_alive) for c in left_keys]
         if r_alive is not None:
             right_keys = [c.mask_invalid(r_alive) for c in right_keys]
-        l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
-        l_idx, r_idx = jnp.asarray(l_idx), jnp.asarray(r_idx)
+        from sqlrs_tpu.ops.join import expand_pairs, pair_ranges
 
-        if op.filter is not None and len(l_idx):
-            # device-side residual compaction over ONLY the referenced
-            # columns: evaluate the filter on the pairs, flag-sort-compact
-            # the index pairs — the only host sync is the surviving count
-            # (the old path shipped an N-sized selection through numpy and
-            # gathered every output column before filtering)
-            keep = _eval_residual_on_pairs(op.filter, left, right, l_idx, r_idx)
-            cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
-            sel = compact_indices(keep, cnt)
-            from sqlrs_tpu.ops.fused import gather_arrays
+        pr = pair_ranges(left_keys, right_keys)
+        total = pr[3] if pr is not None else 0
+        budget = getattr(self.db, "join_pair_budget", 1 << 25)
+        if op.filter is not None and total > budget:
+            # bounded-memory path: the full pair set would exceed the cell
+            # budget and a residual filter gates the output, so expand +
+            # filter in fixed-size chunks (reference analogue: the pull
+            # model's per-batch probe, hash_join.rs:207-250, never holds
+            # the whole pair set either)
+            l_idx, r_idx = self._residual_pairs_chunked(
+                op, left, right, pr, budget
+            )
+        else:
+            l_idx, r_idx = (
+                expand_pairs(*pr) if pr is not None
+                else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            )
+            l_idx, r_idx = jnp.asarray(l_idx), jnp.asarray(r_idx)
 
-            l_idx, r_idx = gather_arrays((l_idx, r_idx), sel)
+            if op.filter is not None and len(l_idx):
+                # device-side residual compaction over ONLY the referenced
+                # columns: evaluate the filter on the pairs, flag-sort-
+                # compact the index pairs — the only host sync is the
+                # surviving count (the old path shipped an N-sized selection
+                # through numpy and gathered every output column first)
+                keep = _eval_residual_on_pairs(
+                    op.filter, left, right, l_idx, r_idx
+                )
+                cnt = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
+                sel = compact_indices(keep, cnt)
+                from sqlrs_tpu.ops.fused import gather_arrays
+
+                l_idx, r_idx = gather_arrays((l_idx, r_idx), sel)
 
         # Unmatched-row passes, device-side: a scatter marks visited rows
         # and a flag-sort compaction extracts the unmatched index set (the
@@ -596,6 +618,72 @@ class Executor:
             um_l, _ = _unmatched_indices(l_idx, left.num_rows)
             parts.append(_merge_rows(op, left, right, um_l, None))
         return DeviceBatch.concat(parts)
+
+    def _residual_pairs_chunked(self, op, left, right, pr, budget: int):
+        """Expand + residual-filter join pairs in bounded-memory chunks.
+
+        Peak live cells are O(budget + survivors) instead of O(total pairs):
+        probe rows are partitioned so each chunk's pair span fits
+        budget (+ one row's overhang), one shared-shape jitted program
+        expands each chunk, the residual filter compacts it to a pow2-padded
+        survivor block, and a final global compaction re-assembles exact
+        (l_idx, r_idx) in unchanged probe-major order. The single-device
+        counterpart of the reference's per-batch probe stream
+        (hash_join.rs:207-250), which never holds the full pair set."""
+        from sqlrs_tpu.ops.fused import gather_arrays
+        from sqlrs_tpu.ops.hash_table import next_pow2
+
+        starts, counts, order, total = pr
+        nr = counts.shape[0]
+        maxc = int(jnp.max(counts))
+        B2 = budget + maxc
+        n_chunks = -(-total // budget)
+        span_start = jnp.cumsum(counts) - counts
+        bounds = np.array(
+            jnp.searchsorted(
+                span_start,
+                jnp.arange(n_chunks + 1, dtype=jnp.int64) * budget,
+            )
+        )
+        bounds[-1] = nr
+        W = int(max(int(bounds[k + 1] - bounds[k]) for k in range(n_chunks)))
+        W = max(W, 1)
+        pad = jnp.zeros((W,), counts.dtype)
+        starts_p = jnp.concatenate([starts, pad])
+        counts_p = jnp.concatenate([counts, pad])
+
+        parts_l, parts_r, parts_v, cnts = [], [], [], []
+        for k in range(n_chunks):
+            r0, r1 = int(bounds[k]), int(bounds[k + 1])
+            if r1 <= r0:
+                continue
+            l_c, r_c, valid = _expand_pair_chunk(
+                starts_p, counts_p, order, r0, r1 - r0, W, B2
+            )
+            keep = _eval_residual_on_pairs(op.filter, left, right, l_c, r_c)
+            kd = keep.data & keep.valid & valid
+            cnt = int(jnp.sum(kd))
+            if cnt == 0:
+                continue
+            width = min(next_pow2(cnt), B2)  # pow2 pad bounds compile variants
+            sel = compact_indices(
+                Column(LogicalType.BOOLEAN, kd, jnp.ones_like(kd)), width
+            )
+            l_k, r_k = gather_arrays((l_c, r_c), sel)
+            parts_l.append(l_k)
+            parts_r.append(r_k)
+            parts_v.append(jnp.arange(width, dtype=jnp.int64) < cnt)
+            cnts.append(cnt)
+        if not parts_l:
+            z = jnp.zeros((0,), jnp.int64)
+            return z, z
+        L = jnp.concatenate(parts_l)
+        R = jnp.concatenate(parts_r)
+        V = jnp.concatenate(parts_v)
+        sel = compact_indices(
+            Column(LogicalType.BOOLEAN, V, jnp.ones_like(V)), sum(cnts)
+        )
+        return gather_arrays((L, R), sel)
 
     def _exec_CrossJoin(self, op: P.PhysicalCrossJoin) -> DeviceBatch:
         left = self.execute(op.children[0])
@@ -695,6 +783,32 @@ def _gather_pairs_jit(l_datas, l_valids, r_datas, r_valids, li, ri, l_live):
 
 def _concat_schema(left: DeviceBatch, right: DeviceBatch) -> Schema:
     return Schema(tuple(left.schema.fields) + tuple(right.schema.fields))
+
+
+def _expand_pair_chunk(starts_p, counts_p, order, r0, nrows, W: int, B2: int):
+    """One bounded chunk of pair expansion (jitted, shapes shared across
+    chunks: W probe rows in, B2 padded pairs out). `starts_p`/`counts_p`
+    are W-padded so the dynamic_slice never clamps (clamping would silently
+    misalign probe row ids)."""
+    return _expand_pair_chunk_jit(starts_p, counts_p, order, r0, nrows, W, B2)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _expand_pair_chunk_jit(starts_p, counts_p, order, r0, nrows, W, B2):
+    r0 = jnp.asarray(r0, jnp.int64)
+    s = jax.lax.dynamic_slice(starts_p, (r0,), (W,))
+    c = jax.lax.dynamic_slice(counts_p, (r0,), (W,))
+    c = jnp.where(jnp.arange(W) < nrows, c, 0)
+    tot = jnp.sum(c)
+    seq = jnp.arange(B2, dtype=jnp.int64)
+    loc = jnp.repeat(jnp.arange(W, dtype=jnp.int64), c, total_repeat_length=B2)
+    base = jnp.repeat(jnp.cumsum(c) - c, c, total_repeat_length=B2)
+    st = jnp.repeat(s, c, total_repeat_length=B2)
+    valid = seq < tot
+    pos = seq - base + st
+    l_idx = order[jnp.clip(pos, 0, order.shape[0] - 1)]
+    r_idx = jnp.clip(r0 + loc, 0, counts_p.shape[0] - W - 1)  # < real nr
+    return l_idx, r_idx, valid
 
 
 def _eval_residual_on_pairs(filter_expr, left, right, l_idx, r_idx):

@@ -143,16 +143,16 @@ def match_counts(build_keys: list[Column], probe_keys: list[Column]):
     return counts
 
 
-def equi_join_pairs(
-    left_keys: list[Column], right_keys: list[Column]
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """All matching (left_row, right_row) pairs, ordered by (right_row,
-    left insertion order) to reproduce the reference's probe-order emission
-    (hash_join.rs:207-250). ONE host sync (the pair count)."""
+def pair_ranges(left_keys: list[Column], right_keys: list[Column]):
+    """Phase A of pair emission: per-probe-row match ranges.
+    Returns (starts, counts, order, total) — total is a host int (the single
+    pipeline-breaker sync) — or None when either side is empty. Callers that
+    schedule their own expansion (bounded-memory chunked residual filtering,
+    exec/executor._residual_pairs_chunked) start here."""
     nl = len(left_keys[0])
     nr = len(right_keys[0])
     if nl == 0 or nr == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        return None
     l_ops: list = []
     r_ops: list = []
     for l, r in zip(left_keys, right_keys):
@@ -164,7 +164,24 @@ def equi_join_pairs(
     starts, counts, order, total = _pairs_phase_a(
         tuple(l_ops), tuple(r_ops), num_keys
     )
-    total = int(total)  # the single pipeline-breaker sync
+    return starts, counts, order, int(total)
+
+
+def expand_pairs(starts, counts, order, total: int):
+    """Phase B: materialize the (left_row, right_row) pair arrays for a
+    pair_ranges result, probe-major order."""
     if total == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     return _pairs_phase_b(starts, counts, order, total)
+
+
+def equi_join_pairs(
+    left_keys: list[Column], right_keys: list[Column]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All matching (left_row, right_row) pairs, ordered by (right_row,
+    left insertion order) to reproduce the reference's probe-order emission
+    (hash_join.rs:207-250). ONE host sync (the pair count)."""
+    pr = pair_ranges(left_keys, right_keys)
+    if pr is None:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return expand_pairs(*pr)

@@ -92,3 +92,45 @@ def test_streaming_limit_touches_chunks_not_table():
     # limit 0 keeps the schema and returns no rows
     (empty,) = db.run("select a from big limit 0")
     assert empty.num_rows == 0 and empty.schema.names == ["a"]
+
+
+def test_chunked_residual_join_pairs():
+    """When the pair set exceeds db.join_pair_budget and a residual filter
+    gates the output, the join expands + filters in bounded chunks
+    (executor._residual_pairs_chunked) — results must be bit-identical to
+    the unchunked path, emission order included (left/full joins consume
+    the surviving pair set downstream)."""
+    import numpy as np
+
+    import sqlrs_tpu
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 400, 700
+    rows_l = ",".join(
+        f"({int(k)},{int(v)})"
+        for k, v in zip(rng.integers(0, 25, n_l), rng.integers(0, 100, n_l))
+    )
+    rows_r = ",".join(
+        f"({int(k)},{int(v)})"
+        for k, v in zip(rng.integers(0, 25, n_r), rng.integers(0, 100, n_r))
+    )
+    ddl = [
+        "create table a(k int, x int)",
+        "create table b(k int, y int)",
+        f"insert into a values {rows_l}",
+        f"insert into b values {rows_r}",
+    ]
+    qs = [
+        "select * from a join b on a.k = b.k and a.x < b.y",
+        "select a.k, sum(b.y) from a join b on a.k = b.k and a.x + b.y > 120"
+        " group by a.k",
+        "select count(*) from a left join b on a.k = b.k and a.x < b.y - 5",
+    ]
+    db_ref = sqlrs_tpu.Database()
+    db_chunk = sqlrs_tpu.Database()
+    db_chunk.join_pair_budget = 512  # ~11K pairs here -> many chunks
+    for db in (db_ref, db_chunk):
+        for s in ddl:
+            db.run(s)
+    for q in qs:
+        assert db_chunk.run_lines(q) == db_ref.run_lines(q), q
