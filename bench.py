@@ -85,15 +85,21 @@ def main() -> None:
     key_max, val_max = int(fact_keys_np.max()), int(fact_vals_np.max())
     fn = make_join_groupby(groups, strategy="direct")
 
-    def run_once(fk, fv, dk, km):
-        s, c = fn(fk, fv, dk, key_max=km, val_max=val_max)
+    def run_once(fk, fv, dk, km, dmin, dmax):
+        # catalog-style metadata: key/value ranges auto-select the int32
+        # pack; dim min/max auto-selects the dense boundary-sharing rank
+        # stage (consecutive surrogate keys — half the rank-row gathers)
+        s, c = fn(fk, fv, dk, key_max=km, val_max=val_max,
+                  dim_min=dmin, dim_max=dmax)
         # timing must force materialization by FETCHING a scalar: over the
         # axon relay block_until_ready returns before the transfer-visible
         # completion and under-reports (CLAUDE.md)
         float(s[0])
         return s, c
 
-    sums, counts = run_once(fact_keys, fact_vals, dim_keys, key_max)
+    dim_min, dim_max = int(dim_keys_np.min()), int(dim_keys_np.max())
+    sums, counts = run_once(fact_keys, fact_vals, dim_keys, key_max,
+                            dim_min, dim_max)
 
     # correctness check vs the CPU baseline (which is itself the comparator)
     exp_sums, exp_counts, cpu_dt = _numpy_baseline(
@@ -105,7 +111,7 @@ def main() -> None:
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        run_once(fact_keys, fact_vals, dim_keys, key_max)
+        run_once(fact_keys, fact_vals, dim_keys, key_max, dim_min, dim_max)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     rows_per_sec = n / dt
@@ -117,11 +123,12 @@ def main() -> None:
     sk = jnp.asarray(sk_np)
     sdk = jnp.asarray(spread_np)
     skm = int(sk_np.max())
-    run_once(sk, fact_vals, sdk, skm)  # compile + warm
+    smin, smax = int(spread_np.min()), int(spread_np.max())
+    run_once(sk, fact_vals, sdk, skm, smin, smax)  # compile + warm
     times2 = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run_once(sk, fact_vals, sdk, skm)
+        run_once(sk, fact_vals, sdk, skm, smin, smax)
         times2.append(time.perf_counter() - t0)
     spread_rows_per_sec = n / float(np.median(times2))
 

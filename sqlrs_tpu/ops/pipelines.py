@@ -235,10 +235,10 @@ def _sorted_ranks_left(sp2d, queries):
     return n - count_ge
 
 
-@partial(jax.jit, static_argnames=("n_groups", "val_bits", "pack32"))
+@partial(jax.jit, static_argnames=("n_groups", "val_bits", "pack32", "dense"))
 def join_groupby_direct(
     fact_keys, fact_vals, dim_keys_sorted, dim_perm, n_groups: int,
-    val_bits: int, pack32: bool,
+    val_bits: int, pack32: bool, dense: bool = False,
 ):
     """The speed-of-light formulation of fact⋈dim + GROUP BY dim_row for
     unique dim keys: sort + prefix sum + 2G binary searches. No run-boundary
@@ -261,7 +261,18 @@ def join_groupby_direct(
     Requires 0 <= value < 2^val_bits and key < 2^(31-val_bits) (pack32) or
     2^(63-val_bits). Keys not in dim are skipped by construction (their
     ranges are never queried). Misses still occupy sort slots — same as every
-    other formulation."""
+    other formulation.
+
+    dense=True: the sorted dim keys are CONSECUTIVE integers (surrogate-key
+    dimensions — catalog check: max-min+1 == n_groups). Then
+    dhi[i] == dlo[i+1] exactly, so the 2G lo/hi queries collapse to G+1
+    shared boundaries: half the merge-rank sort entries and HALF the
+    latency-bound (·,128) rank-row gathers — the dominant non-sort cost
+    (26 ms of the 54 ms non-sort time at the 33.5M×64K headline scale).
+    This is EXACT with misses present: fact keys below dim-min or at/above
+    dim-max+1 fall outside [dlo_0, dhi_last) and the boundary differences
+    never count them; in-span misses cannot exist when the dim domain is
+    dense."""
     if pack32:
         packed = (fact_keys.astype(jnp.int32) << val_bits) | fact_vals.astype(
             jnp.int32
@@ -297,11 +308,19 @@ def join_groupby_direct(
     # MERGE the sorted block minima with the sorted queries via one tiny
     # (nb+2G) sort, then rank AND value-prefix inside a single gathered
     # block per query
-    queries = jnp.concatenate([dlo, dhi])
-    ranks, prefixes = _ranks_and_value_prefix(sp2d, queries, vmask, bp)
     g = dlo.shape[0]
-    lo, hi = ranks[:g], ranks[g:]
-    sum_sorted = prefixes[g:] - prefixes[:g]
+    if dense:
+        # consecutive dim keys: dhi[i] == dlo[i+1], so G+1 shared boundary
+        # queries replace the 2G lo/hi pairs — half the rank-row gathers
+        queries = jnp.concatenate([dlo, dhi[-1:]])
+        ranks, prefixes = _ranks_and_value_prefix(sp2d, queries, vmask, bp)
+        lo, hi = ranks[:g], ranks[1:]
+        sum_sorted = prefixes[1:] - prefixes[:g]
+    else:
+        queries = jnp.concatenate([dlo, dhi])
+        ranks, prefixes = _ranks_and_value_prefix(sp2d, queries, vmask, bp)
+        lo, hi = ranks[:g], ranks[g:]
+        sum_sorted = prefixes[g:] - prefixes[:g]
     cnt_sorted = (hi - lo).astype(jnp.int64)
     sums = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
     counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
@@ -317,12 +336,17 @@ def make_join_groupby(n_groups: int, strategy: str = "direct", slack: int = 2):
         def fn_direct(
             fact_keys, fact_vals, dim_keys, val_bits: int = 7,
             pack32=None, key_max=None, val_max=None,
+            dim_min=None, dim_max=None,
         ):
             # pack32/val_bits contract: max(key) < 2^(31-val_bits) and
             # 0 <= value < 2^val_bits. When the caller passes host-known
             # table metadata (catalog min/max), the packing is AUTO-chosen:
             # 32-bit sorts are HBM-bound at 314M elem/s vs 232M for 64-bit
             # on v5e, so dense-key tables get the fast path by default.
+            # dim_min/dim_max (catalog metadata for the UNIQUE dim keys)
+            # additionally auto-select the dense boundary-sharing variant
+            # when the dim domain is consecutive (surrogate keys):
+            # max-min+1 == n_groups ⇒ half the rank queries.
             if val_max is not None:
                 val_bits = max(int(val_max).bit_length(), 1)
             if pack32 is None:
@@ -330,11 +354,16 @@ def make_join_groupby(n_groups: int, strategy: str = "direct", slack: int = 2):
                     key_max is not None
                     and int(key_max) < (1 << (31 - val_bits)) - 1
                 )
+            dense = (
+                dim_min is not None
+                and dim_max is not None
+                and int(dim_max) - int(dim_min) + 1 == n_groups
+            )
             order = jnp.argsort(dim_keys)
             dim_sorted = dim_keys[order]
             return join_groupby_direct(
                 fact_keys, fact_vals, dim_sorted, order, n_groups,
-                val_bits, bool(pack32),
+                val_bits, bool(pack32), dense,
             )
 
         return fn_direct

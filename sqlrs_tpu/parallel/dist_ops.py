@@ -33,6 +33,19 @@ from jax.sharding import PartitionSpec as P
 from sqlrs_tpu.ops.hash_table import hash_keys
 
 
+def _overflow_scalar(x) -> int:
+    """Max of a per-shard overflow counter that may span processes. The
+    counters are psum'd inside the kernels, so every shard holds the global
+    value — reading the process-LOCAL addressable shards is exact and needs
+    no collective (np.asarray on a cross-process array raises)."""
+    try:
+        return int(np.max(np.asarray(x)))
+    except RuntimeError:
+        return int(
+            max(np.max(np.asarray(s.data)) for s in x.addressable_shards)
+        )
+
+
 def _axis_size(mesh, axis):
     return mesh.shape[axis]
 
@@ -243,7 +256,7 @@ def dist_join_groupby_shuffle_checked(
         sums, cnts, overflow = dist_join_groupby_shuffle(
             mesh, fact_keys, fact_vals, dim_keys, n_groups, bucket_capacity, axis
         )
-        if int(np.max(np.asarray(overflow))) == 0:
+        if _overflow_scalar(overflow) == 0:
             return sums, cnts
         if bucket_capacity >= cap_max:  # pragma: no cover - cap_max always fits
             raise RuntimeError("exchange overflow at full capacity")
@@ -382,7 +395,7 @@ def dist_join_groupby_salted_checked(
             mesh, fact_keys, fact_vals, dim_keys, n_groups,
             bucket_capacity, hot_capacity, hot_factor, axis,
         )
-        if int(np.max(np.asarray(overflow))) == 0:
+        if _overflow_scalar(overflow) == 0:
             return sums, cnts
         if bucket_capacity >= cap_max and hot_capacity >= d_pad:
             raise RuntimeError(  # pragma: no cover - full capacity always fits
@@ -599,7 +612,7 @@ def dist_sort_rows(
     keys_out = outs[:nk]
     pays_out = outs[nk : nk + len(payload_arrays)]
     mask_out = outs[-2]
-    overflow = int(np.max(np.asarray(outs[-1])))
+    overflow = _overflow_scalar(outs[-1])
     return keys_out, pays_out, mask_out, overflow
 
 

@@ -188,9 +188,33 @@ def _tpch_mode(pid: int) -> None:
     for sql in checks:
         exp = db1.run_lines(sql)
         got = dbm.run_lines(sql)
-        assert got == exp, f"{sql[:60]}...: {got[:3]} != {exp[:3]}"
+        assert len(got) == len(exp), f"{sql[:60]}...: {len(got)} != {len(exp)} rows"
+        for g, e in zip(got, exp):
+            assert _cells_match(g, e), f"{sql[:60]}...: {g!r} != {e!r}"
 
     print(f"MH_OK pid={pid}", flush=True)
+
+
+def _cells_match(got_line: str, exp_line: str) -> bool:
+    """Cell-wise equality with float tolerance (the engine's own TPC-H
+    standard, benchmarks/tpch.compare rel_tol=1e-9): distributed partial
+    aggregation legitimately reorders float summation, so last-ulp drift
+    between mesh shapes is expected — exact compare for everything else."""
+    import math
+
+    gs, es = got_line.split(), exp_line.split()
+    if len(gs) != len(es):
+        return False
+    for g, e in zip(gs, es):
+        if g == e:
+            continue
+        try:
+            if math.isclose(float(g), float(e), rel_tol=1e-9, abs_tol=1e-6):
+                continue
+        except ValueError:
+            pass
+        return False
+    return True
 
 
 if __name__ == "__main__":

@@ -156,6 +156,45 @@ def test_direct_pipeline_misses_and_odd_sizes():
     assert np.array_equal(np.asarray(c), exp_c)
 
 
+def test_direct_pipeline_dense_boundary_sharing():
+    """Dense (consecutive) dim keys auto-select the G+1 shared-boundary
+    rank stage; it must stay exact with misses on BOTH sides of the dim
+    span (out-of-span fact keys are excluded by the boundary differences)
+    and agree with the general 2G-query path, in both packings."""
+    from sqlrs_tpu.ops.pipelines import make_join_groupby
+
+    rng = np.random.default_rng(13)
+    n, groups = 10_007, 96
+    base = 50  # dim keys are [50, 146) — dense but not starting at 0
+    gid = rng.integers(0, groups, n)
+    dim_keys = np.arange(groups, dtype=np.int64) + base
+    fk = dim_keys[gid].copy()
+    fk[::7] = 3  # misses below the dim span
+    fk[5::13] = base + groups + 9  # misses above the dim span
+    fv = rng.integers(0, 100, n).astype(np.int64)
+    m = (fk >= base) & (fk < base + groups)
+    exp_s = np.zeros(groups, np.int64)
+    exp_c = np.zeros(groups, np.int64)
+    np.add.at(exp_s, gid[m], fv[m])
+    np.add.at(exp_c, gid[m], 1)
+    fn = make_join_groupby(groups, strategy="direct")
+    for pack32 in (False, True):
+        s, c = fn(
+            jnp.asarray(fk), jnp.asarray(fv), jnp.asarray(dim_keys),
+            val_bits=7, pack32=pack32,
+            dim_min=base, dim_max=base + groups - 1,
+        )
+        assert np.array_equal(np.asarray(s), exp_s), pack32
+        assert np.array_equal(np.asarray(c), exp_c), pack32
+        # general path on the same inputs agrees
+        s2, c2 = fn(
+            jnp.asarray(fk), jnp.asarray(fv), jnp.asarray(dim_keys),
+            val_bits=7, pack32=pack32,
+        )
+        assert np.array_equal(np.asarray(s), np.asarray(s2))
+        assert np.array_equal(np.asarray(c), np.asarray(c2))
+
+
 def test_sort_based_filter_compaction():
     """Filters over >=2^18 rows take the stable flag-sort compaction path;
     results and row order must match the small-batch gather path."""
