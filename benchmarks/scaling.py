@@ -124,14 +124,31 @@ def main(argv=None) -> None:
             f"{r['rows_per_s']/1e6:7.1f}M rows/s "
             f"payload={r['collective_bytes_per_step']}B", flush=True,
         )
-    for name, rows in out.items():
+    # Efficiency vs the ACHIEVABLE ideal on this host: n virtual devices
+    # backed by c physical cores can speed up at most min(n, c)x, so ideal
+    # weak-scaling rows/s = rps(1) * min(n, c). On a 1-core host that ideal
+    # is FLAT rows/s and the ratio isolates the engine's sharding overhead
+    # (exchange bucketing, padding, collective emulation) — the quantity
+    # that carries over to real multi-chip ICI, where compute genuinely
+    # parallelizes. The raw per-device ratio is reported too.
+    import os as _os
+
+    cores = _os.cpu_count() or 1
+    out["physical_cores"] = cores
+    for name in ("kernel", "sql_q1"):
+        rows = out[name]
         base = rows[0]["rows_per_s"] / rows[0]["n_devices"]
         for r in rows:
-            r["efficiency"] = r["rows_per_s"] / (base * r["n_devices"])
+            ideal = base * min(r["n_devices"], cores)
+            r["efficiency_vs_cores"] = r["rows_per_s"] / ideal
+            r["efficiency_vs_devices"] = r["rows_per_s"] / (
+                base * r["n_devices"]
+            )
         eff = ", ".join(
-            f"{r['n_devices']}dev={r['efficiency']:.0%}" for r in rows
+            f"{r['n_devices']}dev={r['efficiency_vs_cores']:.0%}"
+            for r in rows
         )
-        print(f"{name} weak-scaling efficiency: {eff}")
+        print(f"{name} weak-scaling efficiency (vs {cores}-core ideal): {eff}")
     print(json.dumps(out))
 
 

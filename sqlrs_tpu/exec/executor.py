@@ -170,6 +170,15 @@ class Executor:
         return batch.slice(first, min(op.limit, batch.num_rows - first))
 
     def _exec_Order(self, op: P.PhysicalOrder) -> DeviceBatch:
+        # star-rollup fusion: Order(HashAgg(HashJoin)) with the order key ==
+        # the single group key == the single int equi-join key routes to the
+        # packed-sort kernel (ops/pipelines.join_groupby_direct) — one fused
+        # program instead of pair materialization + re-aggregation
+        from sqlrs_tpu.exec.fused_route import try_order_agg_join_route
+
+        routed = try_order_agg_join_route(self, op)
+        if routed is not None:
+            return routed
         child = self.execute(op.children[0])
         if child.num_rows == 0:
             return child

@@ -1,0 +1,267 @@
+"""SQL → fused-pipeline routing: Order(HashAgg(HashJoin)) → join_groupby_direct.
+
+The engine's fastest kernel (ops/pipelines.join_groupby_direct, 205-230M
+rows/s on v5e) computes fact⋈dim + GROUP BY join-key + sum/count in one
+packed sort — but until round 3 no SQL plan could reach it (the general
+executor materializes join pairs and re-aggregates at ~50M rows/s with
+several host syncs). This module pattern-matches the star-rollup plan shape
+
+    Order(key asc)
+      HashAgg(groups=[key], aggs = sum(v) / count(*) / count(v))
+        HashJoin(inner, fact.key = dim.key)          -- unique dim keys
+
+and routes it through the fused kernel. Requiring the ORDER BY on the group
+key sidesteps the engine's first-appearance group-order guarantee (the
+query makes the order explicit), which the range-query formulation cannot
+reproduce without a second sort. The reference analogue of the unfused
+chain is HashJoin→HashAgg (reference src/executor/join/hash_join.rs:146,
+src/executor/aggregate/hash_agg.rs:32); the fused form has no reference
+analogue — it exists because TPU sort bandwidth (314M elem/s int32) vastly
+exceeds scatter bandwidth (12-40M elem/s), so recomputing the aggregate
+from a packed sort beats materializing pairs.
+
+Eligibility is checked statically from the plan (single int equi-key, no
+residual, no distinct, ≤1 distinct aggregate value column) and dynamically
+from two tiny device programs (dim keys unique + spans + value range +
+validity). Ineligible plans fall back to the general executors — the route
+is a pure optimization, bit-exact where it applies (tests/test_fused_route.py
+differential-checks it against the unfused path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqlrs_tpu.binder.expression import BoundAggregate, BoundReference
+from sqlrs_tpu.data.batch import Column, DeviceBatch
+from sqlrs_tpu.plan import physical as P
+from sqlrs_tpu.types.types import LogicalType, numpy_dtype_for
+
+
+@jax.jit
+def _dim_stats(keys, valid):
+    """(sorted_keys, all_valid, unique, kmin, kmax) for the dim key column."""
+    ks = jnp.sort(keys)
+    unique = jnp.all(ks[1:] > ks[:-1]) if keys.shape[0] > 1 else jnp.bool_(True)
+    return ks, jnp.all(valid), unique, ks[0], ks[-1]
+
+
+@jax.jit
+def _fact_stats(keys, kvalid, vals, vvalid):
+    """(key_min, key_max, val_min, val_max, vals_all_valid), valid rows only."""
+    kmin = jnp.min(jnp.where(kvalid, keys, jnp.iinfo(keys.dtype).max))
+    kmax = jnp.max(jnp.where(kvalid, keys, jnp.iinfo(keys.dtype).min))
+    vmin = jnp.min(jnp.where(vvalid, vals, jnp.iinfo(vals.dtype).max))
+    vmax = jnp.max(jnp.where(vvalid, vals, jnp.iinfo(vals.dtype).min))
+    return kmin, kmax, vmin, vmax, jnp.all(vvalid)
+
+
+@partial(jax.jit, static_argnames=("n_groups", "val_bits", "pack32", "dense"))
+def _routed_kernel(fkeys, fvalid, fvals, dim_sorted, miss_key,
+                   n_groups: int, val_bits: int, pack32: bool, dense: bool):
+    """Masked fact rows -> out-of-span key, then the direct kernel.
+
+    dim_sorted is already sorted so dim_perm is the identity and the output
+    arrives in ORDER BY key ascending order directly."""
+    from sqlrs_tpu.ops.pipelines import join_groupby_direct
+
+    fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
+    fv = fvals.astype(jnp.int64)
+    perm = jnp.arange(n_groups, dtype=jnp.int64)
+    return join_groupby_direct(
+        fk, fv, dim_sorted.astype(jnp.int64), perm, n_groups, val_bits, pack32,
+        dense=dense,
+    )
+
+
+@jax.jit
+def _compact_nonempty(dim_sorted, sums, counts):
+    """Drop zero-count groups keeping sorted order: one 2-key stable sort."""
+    alive = counts > 0
+    order = jnp.argsort(jnp.logical_not(alive), stable=True)
+    return dim_sorted[order], sums[order], counts[order], jnp.sum(alive)
+
+
+def _resolve_side(ref_index: int, left_width: int):
+    """join-output column index -> (side, in-side index)."""
+    if ref_index < left_width:
+        return "left", ref_index
+    return "right", ref_index - left_width
+
+
+def try_order_agg_join_route(executor, op: P.PhysicalOrder):
+    """Return the routed result batch, or None if the plan is ineligible.
+
+    Static eligibility, then two small device programs decide the rest;
+    every bail-out point returns None and the caller runs the general path.
+    """
+    db = getattr(executor, "db", None)
+    if db is not None and getattr(db, "enable_fused_route", True) is False:
+        return None
+    # ---- static plan-shape checks ---------------------------------------
+    if len(op.items) != 1 or not op.items[0][1]:
+        return None
+    okey = op.items[0][0]
+    if not isinstance(okey, BoundReference) or okey.index != 0:
+        return None
+    if len(op.children) != 1 or not isinstance(op.children[0], P.PhysicalHashAgg):
+        return None
+    agg = op.children[0]
+    if len(agg.groups) != 1 or not isinstance(agg.groups[0], BoundReference):
+        return None
+    if len(agg.children) != 1 or not isinstance(agg.children[0], P.PhysicalHashJoin):
+        return None
+    join = agg.children[0]
+    if (
+        join.join_type != "inner"
+        or len(join.on) != 1
+        or join.filter is not None
+        or getattr(join, "null_aware", False)
+    ):
+        return None
+    lkey, rkey = join.on[0]
+    if not isinstance(lkey, BoundReference) or not isinstance(rkey, BoundReference):
+        return None
+    if not (lkey.type.is_integral() and rkey.type.is_integral()):
+        return None
+    if lkey.type == LogicalType.INTERVAL or rkey.type == LogicalType.INTERVAL:
+        return None
+    lw = join.left_width
+    gside, gidx = _resolve_side(agg.groups[0].index, lw)
+    # the group column must BE the join key column of its side
+    if gidx != (lkey.index if gside == "left" else rkey.index):
+        return None
+
+    # aggregates: sum(v) / count(*) / count(v) over ONE value column on the
+    # side opposite the (unique-key) dim side
+    val_side = None
+    val_idx = None
+    specs: list[tuple[str, bool]] = []  # (kind, uses_value)
+    for a in agg.aggregates:
+        if not isinstance(a, BoundAggregate) or a.distinct:
+            return None
+        if a.arg is None:
+            if a.function_name != "count":
+                return None
+            specs.append(("count_star", False))
+            continue
+        if a.function_name not in ("sum", "count"):
+            return None
+        if not isinstance(a.arg, BoundReference) or not a.arg.type.is_integral():
+            return None
+        if a.arg.type in (LogicalType.DATE, LogicalType.INTERVAL):
+            return None
+        side, idx = _resolve_side(a.arg.index, lw)
+        if val_side is None:
+            val_side, val_idx = side, idx
+        elif (side, idx) != (val_side, val_idx):
+            return None  # more than one distinct value column
+        specs.append((a.function_name, True))
+
+    # ---- execute children (normal recursion; scans/filters run as usual) --
+    left = executor.execute(join.children[0])
+    right = executor.execute(join.children[1])
+    sides = {"left": left, "right": right}
+
+    # ---- choose dim (unique build) side ---------------------------------
+    # aggregate values live on the fact side; with only count(*) either
+    # side may serve as dim — pick the smaller one (the group VALUES are
+    # equal on both sides of an inner equi join).
+    if val_side is not None:
+        dim_side = "left" if val_side == "right" else "right"
+    elif left.num_rows <= right.num_rows:
+        dim_side = "left"
+    else:
+        dim_side = "right"
+    fact_side = "left" if dim_side == "right" else "right"
+    dim_b, fact_b = sides[dim_side], sides[fact_side]
+    n_groups = dim_b.num_rows
+    n_fact = fact_b.num_rows
+    if n_groups == 0 or n_fact == 0 or n_groups > n_fact:
+        return None  # empty inputs / dim larger than fact: general path
+
+    dim_key_col = dim_b.columns[rkey.index if dim_side == "right" else lkey.index]
+    fact_key_col = fact_b.columns[lkey.index if fact_side == "left" else rkey.index]
+    val_col = fact_b.columns[val_idx] if val_side is not None else None
+
+    # ---- dynamic checks (two tiny programs + scalar fetches) -------------
+    dim_sorted, d_all_valid, d_unique, d_min, d_max = _dim_stats(
+        dim_key_col.data.astype(jnp.int64), dim_key_col.valid
+    )
+    if not bool(d_all_valid) or not bool(d_unique):
+        return None
+    d_min, d_max = int(d_min), int(d_max)
+    need_sum = any(kind == "sum" for kind, _ in specs)
+    vc = val_col if val_col is not None else fact_key_col
+    f_kmin, f_kmax, v_min, v_max, v_all_valid = _fact_stats(
+        fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
+        vc.data.astype(jnp.int64), vc.valid,
+    )
+    if val_col is not None and not bool(v_all_valid):
+        # NULL values would need a per-group valid-count (count(v)) or an
+        # all-NULL-group NULL result (sum) the single kernel pass lacks
+        return None
+    if need_sum:
+        v_min, v_max = int(v_min), int(v_max)
+        if v_min < 0:
+            return None  # negative values break the monotone packing
+    else:
+        v_min, v_max = 0, 1  # counts only: values carried as zeros
+    f_kmax = max(int(f_kmax), d_max)
+    f_kmin = min(int(f_kmin), d_min)
+    val_bits = max(int(v_max).bit_length(), 1)
+    miss_key = f_kmax + 1  # out of every dim range, incl. the last boundary
+    if miss_key >= (1 << (62 - val_bits)) or f_kmin <= -(1 << (62 - val_bits)):
+        return None  # packing headroom exhausted — let the general path run
+    pack32 = (
+        miss_key < (1 << (31 - val_bits)) - 1
+        and f_kmin > -(1 << (31 - val_bits))
+    )
+    dense = (d_max - d_min + 1) == n_groups
+
+    vals = (val_col.data if (val_col is not None and need_sum)
+            else jnp.zeros((n_fact,), jnp.int64))
+    sums, counts = _routed_kernel(
+        fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
+        vals, dim_sorted, jnp.int64(miss_key),
+        n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
+        dense=dense,
+    )
+
+    keys_c, sums_c, counts_c, n_alive = _compact_nonempty(dim_sorted, sums, counts)
+    n_out = int(n_alive)
+
+    # ---- build the output batch (ORDER BY key asc, zero groups dropped) --
+    gtype = agg.types[0] if agg.types else dim_key_col.type
+    cols = [
+        Column(
+            gtype,
+            keys_c[:n_out].astype(numpy_dtype_for(gtype)),
+            jnp.ones((n_out,), jnp.bool_),
+        )
+    ]
+    for spec, a in zip(specs, agg.aggregates):
+        kind, _ = spec
+        src = sums_c if kind == "sum" else counts_c
+        rt = a.return_type()
+        cols.append(
+            Column(rt, src[:n_out].astype(numpy_dtype_for(rt)),
+                   jnp.ones((n_out,), jnp.bool_))
+        )
+    if hasattr(executor, "db") and executor.db is not None:
+        log = getattr(executor.db, "last_fused_routes", None)
+        if log is None:
+            log = []
+            executor.db.last_fused_routes = log
+        log.append("order_agg_join_direct" + ("_dense" if dense else ""))
+    return DeviceBatch(_out_schema(op, agg), cols, n_out)
+
+
+def _out_schema(op: P.PhysicalOrder, agg: P.PhysicalHashAgg):
+    from sqlrs_tpu.exec.executor import _schema
+
+    return _schema(op if op.names else agg)

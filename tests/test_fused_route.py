@@ -1,0 +1,156 @@
+"""Order(HashAgg(HashJoin)) → join_groupby_direct routing (exec/fused_route.py).
+
+Differential: every routed query is re-run with the route disabled and must
+be bit-identical; numpy oracles double-check. Ineligible shapes must fall
+back (and stay correct)."""
+
+import numpy as np
+import pytest
+
+import sqlrs_tpu
+from sqlrs_tpu.data import DeviceBatch, Schema
+from sqlrs_tpu.types import LogicalType as LT
+
+
+def _mk_db(fact_rows, dim_keys, seed=0, null_every=None):
+    rng = np.random.default_rng(seed)
+    dim = np.asarray(dim_keys, dtype=np.int64)
+    gid = rng.integers(0, len(dim), fact_rows)
+    fk = dim[gid].astype(np.int64)
+    fk[::7] = 10_000_019  # misses above every dim key
+    fv = rng.integers(0, 1000, fact_rows).astype(np.int64)
+    fk_list = fk.tolist()
+    if null_every:
+        fk_list = [None if i % null_every == 0 else v
+                   for i, v in enumerate(fk_list)]
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f",
+        DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"k": fk_list, "v": fv.tolist()},
+        ),
+    )
+    db.create_memory_table(
+        "d",
+        DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}
+        ),
+    )
+    return db
+
+
+def _both_ways(db, sql):
+    """(routed_lines, unrouted_lines, route_fired)"""
+    db.last_fused_routes = []
+    routed = db.run_lines(sql)
+    fired = list(db.last_fused_routes)
+    db.enable_fused_route = False
+    try:
+        plain = db.run_lines(sql)
+    finally:
+        db.enable_fused_route = True
+    return routed, plain, fired
+
+
+SQL = ("select d.k, sum(f.v), count(*) from f join d on f.k = d.k "
+       "group by d.k order by d.k")
+
+
+@pytest.mark.parametrize("dim_keys", [
+    np.arange(64) + 100,            # dense span
+    np.arange(64) * 13 + 5,         # sparse
+    np.arange(64) * 977 - 3000,     # negative keys
+])
+def test_route_matches_general_path(dim_keys):
+    db = _mk_db(5000, dim_keys, seed=1)
+    routed, plain, fired = _both_ways(db, SQL)
+    assert fired, "route did not fire"
+    assert routed == plain
+
+
+def test_route_with_null_fact_keys_and_count_v():
+    db = _mk_db(3000, np.arange(32) + 7, seed=2, null_every=11)
+    sql = ("select d.k, count(f.v), sum(f.v) from f join d on f.k = d.k "
+           "group by d.k order by d.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert fired
+    assert routed == plain
+
+
+def test_route_group_on_fact_side_key():
+    db = _mk_db(2000, np.arange(16) * 3, seed=3)
+    sql = ("select f.k, count(*) from f join d on f.k = d.k "
+           "group by f.k order by f.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert fired
+    assert routed == plain
+
+
+def test_route_oracle():
+    rng = np.random.default_rng(5)
+    dim = (np.arange(48) * 7 + 1).astype(np.int64)
+    n = 4096
+    gid = rng.integers(0, 48, n)
+    fk = dim[gid]
+    fv = rng.integers(0, 100, n).astype(np.int64)
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"k": fk.tolist(), "v": fv.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    db.last_fused_routes = []
+    got = db.run_lines(SQL)
+    assert db.last_fused_routes
+    exp_s = np.zeros(48, np.int64)
+    exp_c = np.zeros(48, np.int64)
+    np.add.at(exp_s, gid, fv)
+    np.add.at(exp_c, gid, 1)
+    exp = [f"{k} {s} {c}" for k, s, c in zip(dim, exp_s, exp_c) if c > 0]
+    assert got == exp
+
+
+def test_ineligible_shapes_fall_back():
+    db = _mk_db(1000, np.arange(16) + 1, seed=4)
+    cases = [
+        # desc order
+        "select d.k, sum(f.v) from f join d on f.k=d.k group by d.k order by d.k desc",
+        # avg aggregate
+        "select d.k, avg(f.v) from f join d on f.k=d.k group by d.k order by d.k",
+        # residual filter on the join
+        "select d.k, sum(f.v) from f join d on f.k=d.k and f.v > 10 "
+        "group by d.k order by d.k",
+        # two distinct value columns
+        "select d.k, sum(f.v), sum(f.k) from f join d on f.k=d.k "
+        "group by d.k order by d.k",
+    ]
+    for sql in cases:
+        db.last_fused_routes = []
+        routed = db.run_lines(sql)
+        assert not db.last_fused_routes, sql
+        db.enable_fused_route = False
+        try:
+            plain = db.run_lines(sql)
+        finally:
+            db.enable_fused_route = True
+        assert routed == plain, sql
+
+
+def test_duplicate_dim_keys_fall_back_with_pair_multiplicity():
+    """Non-unique 'dim' keys must NOT route (pairs multiply)."""
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"k": [1, 1, 2, 3], "v": [10, 20, 30, 40]}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": [1, 1, 2]}))
+    db.last_fused_routes = []
+    got = db.run_lines(SQL)
+    assert not db.last_fused_routes
+    # key 1 joins twice per fact row: sum doubled, count doubled
+    assert got == ["1 60 4", "2 30 1"]
