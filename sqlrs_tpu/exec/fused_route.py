@@ -60,9 +60,13 @@ def _fact_stats(keys, kvalid, vals, vvalid):
     return kmin, kmax, vmin, vmax, jnp.all(vvalid)
 
 
-@partial(jax.jit, static_argnames=("n_groups", "val_bits", "pack32", "dense"))
+@partial(
+    jax.jit,
+    static_argnames=("n_groups", "val_bits", "pack32", "dense", "with_minmax"),
+)
 def _routed_kernel(fkeys, fvalid, fvals, dim_sorted, miss_key,
-                   n_groups: int, val_bits: int, pack32: bool, dense: bool):
+                   n_groups: int, val_bits: int, pack32: bool, dense: bool,
+                   with_minmax: bool):
     """Masked fact rows -> out-of-span key, then the direct kernel.
 
     dim_sorted is already sorted so dim_perm is the identity and the output
@@ -74,16 +78,21 @@ def _routed_kernel(fkeys, fvalid, fvals, dim_sorted, miss_key,
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_direct(
         fk, fv, dim_sorted.astype(jnp.int64), perm, n_groups, val_bits, pack32,
-        dense=dense,
+        dense=dense, with_minmax=with_minmax,
     )
 
 
 @jax.jit
-def _compact_nonempty(dim_sorted, sums, counts):
-    """Drop zero-count groups keeping sorted order: one 2-key stable sort."""
-    alive = counts > 0
+def _compact_nonempty(dim_sorted, arrays):
+    """Drop zero-count groups keeping sorted order: one stable argsort by
+    the drop flag; counts must be arrays[1]."""
+    alive = arrays[1] > 0
     order = jnp.argsort(jnp.logical_not(alive), stable=True)
-    return dim_sorted[order], sums[order], counts[order], jnp.sum(alive)
+    return (
+        dim_sorted[order],
+        tuple(a[order] for a in arrays),
+        jnp.sum(alive),
+    )
 
 
 def _resolve_side(ref_index: int, left_width: int):
@@ -136,8 +145,8 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
     if gidx != (lkey.index if gside == "left" else rkey.index):
         return None
 
-    # aggregates: sum(v) / count(*) / count(v) over ONE value column on the
-    # side opposite the (unique-key) dim side
+    # aggregates: sum/count/min/max/avg over ONE value column on the side
+    # opposite the (unique-key) dim side, plus count(*)
     val_side = None
     val_idx = None
     specs: list[tuple[str, bool]] = []  # (kind, uses_value)
@@ -149,7 +158,7 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
                 return None
             specs.append(("count_star", False))
             continue
-        if a.function_name not in ("sum", "count"):
+        if a.function_name not in ("sum", "count", "min", "max", "avg"):
             return None
         if not isinstance(a.arg, BoundReference) or not a.arg.type.is_integral():
             return None
@@ -195,7 +204,8 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
     if not bool(d_all_valid) or not bool(d_unique):
         return None
     d_min, d_max = int(d_min), int(d_max)
-    need_sum = any(kind == "sum" for kind, _ in specs)
+    need_vals = any(k in ("sum", "avg", "min", "max") for k, _ in specs)
+    with_minmax = any(k in ("min", "max") for k, _ in specs)
     vc = val_col if val_col is not None else fact_key_col
     f_kmin, f_kmax, v_min, v_max, v_all_valid = _fact_stats(
         fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
@@ -203,9 +213,9 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
     )
     if val_col is not None and not bool(v_all_valid):
         # NULL values would need a per-group valid-count (count(v)) or an
-        # all-NULL-group NULL result (sum) the single kernel pass lacks
+        # all-NULL-group NULL result (sum/min/max) the single pass lacks
         return None
-    if need_sum:
+    if need_vals:
         v_min, v_max = int(v_min), int(v_max)
         if v_min < 0:
             return None  # negative values break the monotone packing
@@ -223,16 +233,18 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
     )
     dense = (d_max - d_min + 1) == n_groups
 
-    vals = (val_col.data if (val_col is not None and need_sum)
+    vals = (val_col.data if (val_col is not None and need_vals)
             else jnp.zeros((n_fact,), jnp.int64))
-    sums, counts = _routed_kernel(
+    out = _routed_kernel(
         fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
         vals, dim_sorted, jnp.int64(miss_key),
         n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
-        dense=dense,
+        dense=dense, with_minmax=with_minmax,
     )
-
-    keys_c, sums_c, counts_c, n_alive = _compact_nonempty(dim_sorted, sums, counts)
+    keys_c, arrays_c, n_alive = _compact_nonempty(dim_sorted, out)
+    sums_c, counts_c = arrays_c[0], arrays_c[1]
+    mins_c = arrays_c[2] if with_minmax else None
+    maxs_c = arrays_c[3] if with_minmax else None
     n_out = int(n_alive)
 
     # ---- build the output batch (ORDER BY key asc, zero groups dropped) --
@@ -244,9 +256,17 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
             jnp.ones((n_out,), jnp.bool_),
         )
     ]
-    for spec, a in zip(specs, agg.aggregates):
-        kind, _ = spec
-        src = sums_c if kind == "sum" else counts_c
+    for (kind, _), a in zip(specs, agg.aggregates):
+        if kind == "sum":
+            src = sums_c
+        elif kind == "min":
+            src = mins_c
+        elif kind == "max":
+            src = maxs_c
+        elif kind == "avg":
+            src = sums_c.astype(jnp.float64) / counts_c.astype(jnp.float64)
+        else:  # count / count_star
+            src = counts_c
         rt = a.return_type()
         cols.append(
             Column(rt, src[:n_out].astype(numpy_dtype_for(rt)),

@@ -235,10 +235,14 @@ def _sorted_ranks_left(sp2d, queries):
     return n - count_ge
 
 
-@partial(jax.jit, static_argnames=("n_groups", "val_bits", "pack32", "dense"))
+@partial(
+    jax.jit,
+    static_argnames=("n_groups", "val_bits", "pack32", "dense", "with_minmax"),
+)
 def join_groupby_direct(
     fact_keys, fact_vals, dim_keys_sorted, dim_perm, n_groups: int,
     val_bits: int, pack32: bool, dense: bool = False,
+    with_minmax: bool = False,
 ):
     """The speed-of-light formulation of fact⋈dim + GROUP BY dim_row for
     unique dim keys: sort + prefix sum + 2G binary searches. No run-boundary
@@ -324,6 +328,17 @@ def join_groupby_direct(
     cnt_sorted = (hi - lo).astype(jnp.int64)
     sums = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
     counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
+    if with_minmax:
+        # the packed sort orders each key's range by VALUE, so per-group
+        # min/max are the range's first/last elements: two G-sized random
+        # gathers (group-count-sized access is the design budget). Garbage
+        # for empty ranges — callers drop count==0 groups.
+        last = sp.shape[0] - 1
+        min_sorted = (sp[jnp.clip(lo, 0, last)] & vmask).astype(jnp.int64)
+        max_sorted = (sp[jnp.clip(hi - 1, 0, last)] & vmask).astype(jnp.int64)
+        mins = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(min_sorted)
+        maxs = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(max_sorted)
+        return sums, counts, mins, maxs
     return sums, counts
 
 

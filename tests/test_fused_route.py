@@ -113,13 +113,23 @@ def test_route_oracle():
     assert got == exp
 
 
+def test_route_min_max_avg():
+    db = _mk_db(4000, np.arange(40) * 3 + 11, seed=6)
+    sql = ("select d.k, min(f.v), max(f.v), avg(f.v), count(*) "
+           "from f join d on f.k = d.k group by d.k order by d.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert fired
+    assert routed == plain
+
+
 def test_ineligible_shapes_fall_back():
     db = _mk_db(1000, np.arange(16) + 1, seed=4)
     cases = [
         # desc order
         "select d.k, sum(f.v) from f join d on f.k=d.k group by d.k order by d.k desc",
-        # avg aggregate
-        "select d.k, avg(f.v) from f join d on f.k=d.k group by d.k order by d.k",
+        # left join
+        "select d.k, sum(f.v) from d left join f on f.k=d.k "
+        "group by d.k order by d.k",
         # residual filter on the join
         "select d.k, sum(f.v) from f join d on f.k=d.k and f.v > 10 "
         "group by d.k order by d.k",
