@@ -196,6 +196,15 @@ class Executor:
         return self._aggregate(op, [], op.aggregates, src, alive)
 
     def _exec_HashAgg(self, op: P.PhysicalHashAgg) -> DeviceBatch:
+        # star-rollup fusion without an ORDER BY: HashAgg(HashJoin) on the
+        # single int equi-join key routes to the rowid-packed kernel, which
+        # recovers the first-appearance group order from per-group min
+        # probe row indices (exec/fused_route.py)
+        from sqlrs_tpu.exec.fused_route import try_agg_join_route
+
+        routed = try_agg_join_route(self, op)
+        if routed is not None:
+            return routed
         src, alive = self._fusable_filter_input(op)
         return self._aggregate(op, op.groups, op.aggregates, src, alive)
 

@@ -82,6 +82,19 @@ def _routed_kernel(fkeys, fvalid, fvals, dim_sorted, miss_key,
     )
 
 
+@partial(jax.jit, static_argnames=("n_groups", "rid_bits", "dense"))
+def _routed_kernel_firstapp(fkeys, fvalid, fvals, dim_sorted, miss_key,
+                            n_groups: int, rid_bits: int, dense: bool):
+    from sqlrs_tpu.ops.pipelines import join_groupby_firstapp
+
+    fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
+    perm = jnp.arange(n_groups, dtype=jnp.int64)
+    return join_groupby_firstapp(
+        fk, fvals, dim_sorted.astype(jnp.int64), perm, n_groups, rid_bits,
+        dense=dense,
+    )
+
+
 @jax.jit
 def _compact_nonempty(dim_sorted, arrays):
     """Drop zero-count groups keeping sorted order: one stable argsort by
@@ -103,15 +116,12 @@ def _resolve_side(ref_index: int, left_width: int):
 
 
 def try_order_agg_join_route(executor, op: P.PhysicalOrder):
-    """Return the routed result batch, or None if the plan is ineligible.
-
-    Static eligibility, then two small device programs decide the rest;
-    every bail-out point returns None and the caller runs the general path.
-    """
+    """Order(HashAgg(HashJoin)) with order key == group key: the output is
+    produced directly in key order by the value-packed kernel (min/max
+    supported). Returns None when ineligible."""
     db = getattr(executor, "db", None)
     if db is not None and getattr(db, "enable_fused_route", True) is False:
         return None
-    # ---- static plan-shape checks ---------------------------------------
     if len(op.items) != 1 or not op.items[0][1]:
         return None
     okey = op.items[0][0]
@@ -120,11 +130,43 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
     if len(op.children) != 1 or not isinstance(op.children[0], P.PhysicalHashAgg):
         return None
     agg = op.children[0]
+    return _try_route(executor, op, agg, ordered=True)
+
+
+def try_agg_join_route(executor, agg: P.PhysicalHashAgg):
+    """Bare HashAgg(HashJoin) — no ORDER BY above. The first-appearance
+    group order the engine guarantees is recovered from the rowid-packed
+    kernel (join_groupby_firstapp): min probe row index per group, one
+    G-sized argsort. Values ride as sort payloads, so negatives are fine,
+    but min/max aggregates are not available on this variant."""
+    db = getattr(executor, "db", None)
+    if db is not None and getattr(db, "enable_fused_route", True) is False:
+        return None
+    return _try_route(executor, agg, agg, ordered=False)
+
+
+def _try_route(executor, op, agg, ordered: bool):
     if len(agg.groups) != 1 or not isinstance(agg.groups[0], BoundReference):
         return None
-    if len(agg.children) != 1 or not isinstance(agg.children[0], P.PhysicalHashJoin):
+    if len(agg.children) != 1:
         return None
-    join = agg.children[0]
+    child = agg.children[0]
+    # column pruning interposes a pure-reference Projection between the
+    # aggregate and the join — see through it by remapping indices
+    remap = None
+    if (
+        isinstance(child, P.PhysicalProjection)
+        and len(child.children) == 1
+        and all(isinstance(e, BoundReference) for e in child.exprs)
+    ):
+        remap = [e.index for e in child.exprs]
+        child = child.children[0]
+    if not isinstance(child, P.PhysicalHashJoin):
+        return None
+    join = child
+
+    def _map(i: int) -> int:
+        return remap[i] if remap is not None else i
     if (
         join.join_type != "inner"
         or len(join.on) != 1
@@ -140,7 +182,7 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
     if lkey.type == LogicalType.INTERVAL or rkey.type == LogicalType.INTERVAL:
         return None
     lw = join.left_width
-    gside, gidx = _resolve_side(agg.groups[0].index, lw)
+    gside, gidx = _resolve_side(_map(agg.groups[0].index), lw)
     # the group column must BE the join key column of its side
     if gidx != (lkey.index if gside == "left" else rkey.index):
         return None
@@ -164,7 +206,9 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
             return None
         if a.arg.type in (LogicalType.DATE, LogicalType.INTERVAL):
             return None
-        side, idx = _resolve_side(a.arg.index, lw)
+        if not ordered and a.function_name in ("min", "max"):
+            return None  # rowid packing cannot order values within a range
+        side, idx = _resolve_side(_map(a.arg.index), lw)
         if val_side is None:
             val_side, val_idx = side, idx
         elif (side, idx) != (val_side, val_idx):
@@ -215,36 +259,66 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
         # NULL values would need a per-group valid-count (count(v)) or an
         # all-NULL-group NULL result (sum/min/max) the single pass lacks
         return None
-    if need_vals:
-        v_min, v_max = int(v_min), int(v_max)
-        if v_min < 0:
-            return None  # negative values break the monotone packing
-    else:
-        v_min, v_max = 0, 1  # counts only: values carried as zeros
     f_kmax = max(int(f_kmax), d_max)
     f_kmin = min(int(f_kmin), d_min)
-    val_bits = max(int(v_max).bit_length(), 1)
     miss_key = f_kmax + 1  # out of every dim range, incl. the last boundary
-    if miss_key >= (1 << (62 - val_bits)) or f_kmin <= -(1 << (62 - val_bits)):
-        return None  # packing headroom exhausted — let the general path run
-    pack32 = (
-        miss_key < (1 << (31 - val_bits)) - 1
-        and f_kmin > -(1 << (31 - val_bits))
-    )
     dense = (d_max - d_min + 1) == n_groups
-
     vals = (val_col.data if (val_col is not None and need_vals)
             else jnp.zeros((n_fact,), jnp.int64))
-    out = _routed_kernel(
-        fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
-        vals, dim_sorted, jnp.int64(miss_key),
-        n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
-        dense=dense, with_minmax=with_minmax,
-    )
+
+    if ordered:
+        if need_vals:
+            v_min, v_max = int(v_min), int(v_max)
+            if v_min < 0:
+                return None  # negative values break the monotone packing
+        else:
+            v_min, v_max = 0, 1  # counts only: values carried as zeros
+        val_bits = max(int(v_max).bit_length(), 1)
+        if miss_key >= (1 << (62 - val_bits)) or f_kmin <= -(1 << (62 - val_bits)):
+            return None  # packing headroom exhausted
+        pack32 = (
+            miss_key < (1 << (31 - val_bits)) - 1
+            and f_kmin > -(1 << (31 - val_bits))
+        )
+        out = _routed_kernel(
+            fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
+            vals, dim_sorted, jnp.int64(miss_key),
+            n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
+            dense=dense, with_minmax=with_minmax,
+        )
+    else:
+        rid_bits = max(n_fact.bit_length(), 1)
+        if miss_key >= (1 << (62 - rid_bits)) or f_kmin <= -(1 << (62 - rid_bits)):
+            return None
+        out = _routed_kernel_firstapp(
+            fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
+            vals, dim_sorted, jnp.int64(miss_key),
+            n_groups=n_groups, rid_bits=rid_bits, dense=dense,
+        )
+
+    if not ordered and fact_side == "left":
+        # pairs are emitted right-row-major (ops/join.py equi_join_pairs:
+        # "(right_row, left insertion order)" per the reference's probe
+        # order), so with the DIM side on the right the group
+        # first-appearance order is the dim table's ORIGINAL row order —
+        # carry each sorted key's original position through the compaction
+        out = out + (jnp.argsort(dim_key_col.data.astype(jnp.int64)),)
     keys_c, arrays_c, n_alive = _compact_nonempty(dim_sorted, out)
     sums_c, counts_c = arrays_c[0], arrays_c[1]
-    mins_c = arrays_c[2] if with_minmax else None
-    maxs_c = arrays_c[3] if with_minmax else None
+    if ordered:
+        mins_c = arrays_c[2] if with_minmax else None
+        maxs_c = arrays_c[3] if with_minmax else None
+    else:
+        # reorder the surviving groups into first-appearance order (the
+        # engine's guaranteed group order): fact on the right → min probe
+        # (fact) rowid; dim on the right → original dim row position
+        mins_c = maxs_c = None
+        n_live = int(n_alive)
+        order_src = arrays_c[2] if fact_side == "right" else arrays_c[3]
+        order = jnp.argsort(order_src[:n_live])
+        keys_c = keys_c[:n_live][order]
+        sums_c = sums_c[:n_live][order]
+        counts_c = counts_c[:n_live][order]
     n_out = int(n_alive)
 
     # ---- build the output batch (ORDER BY key asc, zero groups dropped) --
@@ -277,7 +351,10 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
         if log is None:
             log = []
             executor.db.last_fused_routes = log
-        log.append("order_agg_join_direct" + ("_dense" if dense else ""))
+        log.append(
+            ("order_agg_join_direct" if ordered else "agg_join_firstapp")
+            + ("_dense" if dense else "")
+        )
     return DeviceBatch(_out_schema(op, agg), cols, n_out)
 
 

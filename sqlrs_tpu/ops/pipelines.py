@@ -342,6 +342,81 @@ def join_groupby_direct(
     return sums, counts
 
 
+@partial(jax.jit, static_argnames=("n_groups", "rid_bits", "dense"))
+def join_groupby_firstapp(
+    fact_keys, fact_vals, dim_keys_sorted, dim_perm, n_groups: int,
+    rid_bits: int, dense: bool = False,
+):
+    """fact⋈dim + GROUP BY key with the engine's first-appearance group
+    ORDER recoverable — the ORDER-BY-free sibling of join_groupby_direct.
+
+    The row index (not the value) is packed into the sort key:
+
+        packed = key << rid_bits | rowid        (rowid < 2^rid_bits)
+        sort (packed, value)                    -- value rides as a payload
+                                                   (variadic sort is nearly
+                                                   flat in operand count)
+
+    Per-key ranges come from the same merge-ranked boundary queries in the
+    packed domain; per-key value sums from block prefix sums over the
+    PAYLOAD array (one extra 128-wide gathered row per boundary); and the
+    first-appearance rank of each key is simply `sp[lo] & rid_mask` — the
+    smallest probe row index in the range, one G-sized gather. For unique
+    dim keys the join emits ≤1 pair per probe row, so min probe rowid IS
+    the reference's first-appearance position (hash_agg.rs:85-111).
+
+    Requires key_eff_max < 2^(63-rid_bits). Values are NOT packed: any
+    int64 payload (negatives included) sums exactly.
+    Returns (sums, counts, first_rowid) scattered to dim_perm order."""
+    n = fact_keys.shape[0]
+    rid = jnp.arange(n, dtype=jnp.int64)
+    packed = (fact_keys.astype(jnp.int64) << rid_bits) | rid
+    blk = 128
+    pad = (-n) % blk
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.full((pad,), jnp.iinfo(jnp.int64).max, jnp.int64)]
+        )
+        fact_vals = jnp.concatenate(
+            [fact_vals.astype(jnp.int64), jnp.zeros((pad,), jnp.int64)]
+        )
+    sp, vs = lax.sort((packed, fact_vals.astype(jnp.int64)), num_keys=1)
+    nb = sp.shape[0] // blk
+    sp2d = sp.reshape(nb, blk)
+    v2d = vs.reshape(nb, blk)
+    bs = jnp.sum(v2d, axis=1)
+    bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
+
+    dlo = dim_keys_sorted.astype(jnp.int64) << rid_bits
+    dhi = (dim_keys_sorted.astype(jnp.int64) + 1) << rid_bits
+    g = dlo.shape[0]
+    if dense:
+        queries = jnp.concatenate([dlo, dhi[-1:]])
+        ranks = _sorted_ranks_left(sp2d, queries)
+        lo, hi = ranks[:g], ranks[1:]
+    else:
+        ranks = _sorted_ranks_left(sp2d, jnp.concatenate([dlo, dhi]))
+        lo, hi = ranks[:g], ranks[g:]
+
+    lane = jnp.arange(blk, dtype=jnp.int32)
+
+    def prefix_at(pos):
+        b = pos // blk
+        rem = (pos % blk).astype(jnp.int32)
+        rows = v2d[jnp.clip(b, 0, nb - 1)]
+        part = jnp.sum(jnp.where(lane[None, :] < rem[:, None], rows, 0), axis=1)
+        return bp[jnp.clip(b, 0, nb)] + part
+
+    sum_sorted = prefix_at(hi) - prefix_at(lo)
+    cnt_sorted = (hi - lo).astype(jnp.int64)
+    rmask = (jnp.int64(1) << rid_bits) - 1
+    first_sorted = sp[jnp.clip(lo, 0, sp.shape[0] - 1)] & rmask
+    sums = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
+    counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
+    firsts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(first_sorted)
+    return sums, counts, firsts
+
+
 def make_join_groupby(n_groups: int, strategy: str = "direct", slack: int = 2):
     """strategy 'direct' (sort + prefix sum + 2G binary searches — the
     headline path), 'sorted'/'sorted_packed' (run-boundary sort-merge), or

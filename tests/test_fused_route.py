@@ -122,11 +122,64 @@ def test_route_min_max_avg():
     assert routed == plain
 
 
+@pytest.mark.parametrize("sql,name", [
+    # no ORDER BY: first-appearance group order must be reproduced exactly.
+    # fact on the left (dim right): order = dim table's original row order
+    ("select d.k, sum(f.v), count(*) from f join d on f.k = d.k group by d.k",
+     "fact_left"),
+    # fact on the right (dim left): order = first matching fact row
+    ("select d.k, sum(f.v), count(*) from d join f on f.k = d.k group by d.k",
+     "fact_right"),
+    # avg and negative values (payload sums need no packing)
+    ("select d.k, avg(f.v), count(f.v) from f join d on f.k = d.k group by d.k",
+     "avg"),
+])
+def test_firstapp_route_matches_general_path(sql, name):
+    # dim keys deliberately NOT in sorted order: first-appearance order
+    # differs from key order, so ordering bugs cannot hide
+    dim = np.array([50, 7, 93, 22, 68, 1, 39, 84, 15, 61], dtype=np.int64)
+    rng = np.random.default_rng(8)
+    n = 3000
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid]
+    fk = fk.copy()
+    fk[::9] = 999  # misses
+    fv = rng.integers(-50, 50, n).astype(np.int64)  # negatives
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"k": fk.tolist(), "v": fv.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    db.last_fused_routes = []
+    routed = db.run_lines(sql)
+    assert any("firstapp" in r for r in db.last_fused_routes), (
+        name, db.last_fused_routes)
+    db.enable_fused_route = False
+    try:
+        plain = db.run_lines(sql)
+    finally:
+        db.enable_fused_route = True
+    assert routed == plain, name
+
+
+def test_desc_order_routes_via_firstapp():
+    """ORDER BY key DESC: the ordered route bails, but the bare-HashAgg
+    first-appearance route still fires underneath and the general Order
+    sorts its G-row output."""
+    db = _mk_db(1000, np.arange(16) + 1, seed=4)
+    sql = ("select d.k, sum(f.v) from f join d on f.k=d.k "
+           "group by d.k order by d.k desc")
+    routed, plain, fired = _both_ways(db, sql)
+    assert any("firstapp" in r for r in fired)
+    assert routed == plain
+
+
 def test_ineligible_shapes_fall_back():
     db = _mk_db(1000, np.arange(16) + 1, seed=4)
     cases = [
-        # desc order
-        "select d.k, sum(f.v) from f join d on f.k=d.k group by d.k order by d.k desc",
         # left join
         "select d.k, sum(f.v) from d left join f on f.k=d.k "
         "group by d.k order by d.k",
