@@ -1,0 +1,99 @@
+"""SQL-level fused-route benchmark: the headline star rollup through the
+FULL engine (parse → bind → optimize → execute), routed vs general path.
+
+Round-2 VERDICT's top finding was the 50-200x gap between the engine's
+kernels (205M rows/s) and SQL-path throughput; the dispatch diet closed the
+round-trip part and exec/fused_route.py closes the kernel part for the
+star-rollup shape. This runner measures that closure end to end on the
+SAME workload bench.py uses (33.5M zipf rows x 64K dense dim keys):
+
+  select d.k, sum(f.v), count(*) from f join d on f.k = d.k
+  group by d.k order by d.k
+
+Usage: python -m benchmarks.route_bench [--rows 25] [--groups 16] [--repeat 3]
+(--rows/--groups are log2). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=25)
+    ap.add_argument("--groups", type=int, default=16)
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    import sqlrs_tpu
+    from sqlrs_tpu.data import DeviceBatch, Schema
+    from sqlrs_tpu.data.batch import Column
+    from sqlrs_tpu.types import LogicalType as LT
+
+    n, groups = 1 << args.rows, 1 << args.groups
+    rng = np.random.default_rng(0)
+    gid = np.minimum(rng.zipf(1.2, n), groups).astype(np.int64) - 1
+    dim_keys = np.arange(groups, dtype=np.int64)
+    fk = dim_keys[gid]
+    fv = rng.integers(0, 100, n).astype(np.int64)
+
+    db = sqlrs_tpu.Database()
+    fschema = Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)])
+    db.create_memory_table(
+        "f",
+        DeviceBatch(
+            fschema,
+            [Column.from_numpy(LT.BIGINT, fk), Column.from_numpy(LT.BIGINT, fv)],
+            n,
+        ),
+    )
+    db.create_memory_table(
+        "d",
+        DeviceBatch(
+            Schema.of([("k", LT.BIGINT)]),
+            [Column.from_numpy(LT.BIGINT, dim_keys)],
+            groups,
+        ),
+    )
+    sql = ("select d.k, sum(f.v), count(*) from f join d on f.k = d.k "
+           "group by d.k order by d.k")
+
+    def run(enabled: bool):
+        db.enable_fused_route = enabled
+        db.last_fused_routes = []
+        db.run_lines(sql)  # warm (compile)
+        times = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            out = db.run_lines(sql)
+            times.append(time.perf_counter() - t0)
+        return min(times), out, list(db.last_fused_routes)
+
+    t_routed, out_r, routes = run(True)
+    assert routes, "fused route did not fire"
+    t_plain, out_p, _ = run(False)
+    db.enable_fused_route = True
+    assert out_r == out_p, "routed result differs from general path"
+
+    print(json.dumps({
+        "metric": "sql_star_rollup_rows_per_sec",
+        "value": round(n / t_routed),
+        "unit": "rows/s",
+        "vs_baseline": round(t_plain / t_routed, 2),
+        "detail": {
+            "rows": n, "groups": groups,
+            "routed_s": round(t_routed, 4),
+            "general_path_s": round(t_plain, 4),
+            "route": routes[0],
+            "baseline": "same engine, fused route disabled",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
