@@ -146,7 +146,9 @@ def try_agg_join_route(executor, agg: P.PhysicalHashAgg):
 
 
 def _try_route(executor, op, agg, ordered: bool):
-    if len(agg.groups) != 1 or not isinstance(agg.groups[0], BoundReference):
+    if not agg.groups or not all(
+        isinstance(g, BoundReference) for g in agg.groups
+    ):
         return None
     if len(agg.children) != 1:
         return None
@@ -183,9 +185,15 @@ def _try_route(executor, op, agg, ordered: bool):
         return None
     lw = join.left_width
     gside, gidx = _resolve_side(_map(agg.groups[0].index), lw)
-    # the group column must BE the join key column of its side
+    # the FIRST group column must BE the join key column of its side; any
+    # further group columns must be DIM-side attributes — with unique dim
+    # keys they are functionally dependent on the key, so they refine
+    # nothing and are emitted via G-sized gathers
     if gidx != (lkey.index if gside == "left" else rkey.index):
         return None
+    extra_groups: list[tuple[str, int]] = []  # (side, in-side index)
+    for g in agg.groups[1:]:
+        extra_groups.append(_resolve_side(_map(g.index), lw))
 
     # aggregates: sum/count/min/max/avg over ONE value column on the side
     # opposite the (unique-key) dim side, plus count(*)
@@ -231,6 +239,8 @@ def _try_route(executor, op, agg, ordered: bool):
     else:
         dim_side = "right"
     fact_side = "left" if dim_side == "right" else "right"
+    if any(side != dim_side for side, _ in extra_groups):
+        return None  # non-key group columns must be dim attributes
     dim_b, fact_b = sides[dim_side], sides[fact_side]
     n_groups = dim_b.num_rows
     n_fact = fact_b.num_rows
@@ -296,15 +306,35 @@ def _try_route(executor, op, agg, ordered: bool):
             n_groups=n_groups, rid_bits=rid_bits, dense=dense,
         )
 
+    # extra dim group columns and (for first-appearance ordering with the
+    # dim on the probe side) original dim positions ride the compaction as
+    # additional G-sized arrays, aligned to key-sorted order via sperm
+    base_len = len(out)
+    extras_flat: list = []
+    need_sperm = bool(extra_groups) or (not ordered and fact_side == "left")
+    sperm = (
+        jnp.argsort(dim_key_col.data.astype(jnp.int64)) if need_sperm else None
+    )
+    for _, idx in extra_groups:
+        c = dim_b.columns[idx]
+        extras_flat.append(c.data[sperm])
+        extras_flat.append(c.valid[sperm])
+    pos_idx = None
     if not ordered and fact_side == "left":
         # pairs are emitted right-row-major (ops/join.py equi_join_pairs:
         # "(right_row, left insertion order)" per the reference's probe
         # order), so with the DIM side on the right the group
-        # first-appearance order is the dim table's ORIGINAL row order —
-        # carry each sorted key's original position through the compaction
-        out = out + (jnp.argsort(dim_key_col.data.astype(jnp.int64)),)
-    keys_c, arrays_c, n_alive = _compact_nonempty(dim_sorted, out)
+        # first-appearance order is the dim table's ORIGINAL row order
+        pos_idx = base_len + len(extras_flat)
+        extras_flat.append(sperm.astype(jnp.int64))
+    keys_c, arrays_c, n_alive = _compact_nonempty(
+        dim_sorted, out + tuple(extras_flat)
+    )
     sums_c, counts_c = arrays_c[0], arrays_c[1]
+    extra_cols_c = [
+        (arrays_c[base_len + 2 * i], arrays_c[base_len + 2 * i + 1])
+        for i in range(len(extra_groups))
+    ]
     if ordered:
         mins_c = arrays_c[2] if with_minmax else None
         maxs_c = arrays_c[3] if with_minmax else None
@@ -314,11 +344,14 @@ def _try_route(executor, op, agg, ordered: bool):
         # (fact) rowid; dim on the right → original dim row position
         mins_c = maxs_c = None
         n_live = int(n_alive)
-        order_src = arrays_c[2] if fact_side == "right" else arrays_c[3]
+        order_src = arrays_c[2] if fact_side == "right" else arrays_c[pos_idx]
         order = jnp.argsort(order_src[:n_live])
         keys_c = keys_c[:n_live][order]
         sums_c = sums_c[:n_live][order]
         counts_c = counts_c[:n_live][order]
+        extra_cols_c = [
+            (d[:n_live][order], v[:n_live][order]) for d, v in extra_cols_c
+        ]
     n_out = int(n_alive)
 
     # ---- build the output batch (ORDER BY key asc, zero groups dropped) --
@@ -330,6 +363,9 @@ def _try_route(executor, op, agg, ordered: bool):
             jnp.ones((n_out,), jnp.bool_),
         )
     ]
+    for (_, idx), (d, v) in zip(extra_groups, extra_cols_c):
+        ct = dim_b.columns[idx].type
+        cols.append(Column(ct, d[:n_out], v[:n_out]))
     for (kind, _), a in zip(specs, agg.aggregates):
         if kind == "sum":
             src = sums_c

@@ -165,6 +165,39 @@ def test_firstapp_route_matches_general_path(sql, name):
     assert routed == plain, name
 
 
+def test_route_extra_dim_group_columns():
+    """group by key + dim attributes (functionally dependent): emitted via
+    G-sized gathers, bit-exact incl. VARCHAR columns and NULL attrs, in
+    both the ordered and first-appearance variants."""
+    rng = np.random.default_rng(12)
+    dim = np.array([30, 4, 18, 92, 55, 11, 73, 47], dtype=np.int64)
+    names = [" containerA", None, "containerC", "d", "e", "f", "g", "h"]
+    n = 2500
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid]
+    fv = rng.integers(0, 80, n).astype(np.int64)
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"k": fk.tolist(), "v": fv.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("name", LT.VARCHAR)]),
+            {"k": dim.tolist(), "name": names}))
+    for sql, expect_route in [
+        ("select d.k, d.name, sum(f.v) from f join d on f.k = d.k "
+         "group by d.k, d.name order by d.k", "order_agg_join_direct"),
+        ("select d.k, d.name, sum(f.v), count(*) from f join d on f.k = d.k "
+         "group by d.k, d.name", "agg_join_firstapp"),
+        ("select d.k, d.name, count(*) from d join f on f.k = d.k "
+         "group by d.k, d.name", "agg_join_firstapp"),
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert any(expect_route in r for r in fired), (sql, fired)
+        assert routed == plain, sql
+
+
 def test_desc_order_routes_via_firstapp():
     """ORDER BY key DESC: the ordered route bails, but the bare-HashAgg
     first-appearance route still fires underneath and the general Order
