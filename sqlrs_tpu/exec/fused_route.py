@@ -195,10 +195,16 @@ def _try_route(executor, op, agg, ordered: bool):
     for g in agg.groups[1:]:
         extra_groups.append(_resolve_side(_map(g.index), lw))
 
-    # aggregates: sum/count/min/max/avg over ONE value column on the side
-    # opposite the (unique-key) dim side, plus count(*)
+    # aggregates: sum/count/min/max/avg over ONE value expression whose
+    # column references all live on the side opposite the (unique-key) dim
+    # side, plus count(*). A non-reference expression (sum(a*b), …) is
+    # evaluated over the fact batch with the fused expression executor
+    # before the kernel.
+    from sqlrs_tpu.binder.expression import visit_expr
+
     val_side = None
-    val_idx = None
+    val_expr = None
+    val_key = None
     specs: list[tuple[str, bool]] = []  # (kind, uses_value)
     for a in agg.aggregates:
         if not isinstance(a, BoundAggregate) or a.distinct:
@@ -210,17 +216,33 @@ def _try_route(executor, op, agg, ordered: bool):
             continue
         if a.function_name not in ("sum", "count", "min", "max", "avg"):
             return None
-        if not isinstance(a.arg, BoundReference) or not a.arg.type.is_integral():
-            return None
-        if a.arg.type in (LogicalType.DATE, LogicalType.INTERVAL):
+        rt_arg = a.arg.return_type()
+        if not rt_arg.is_integral() or rt_arg in (
+            LogicalType.DATE, LogicalType.INTERVAL
+        ):
             return None
         if not ordered and a.function_name in ("min", "max"):
             return None  # rowid packing cannot order values within a range
-        side, idx = _resolve_side(_map(a.arg.index), lw)
-        if val_side is None:
-            val_side, val_idx = side, idx
-        elif (side, idx) != (val_side, val_idx):
-            return None  # more than one distinct value column
+        refs: list[int] = []
+        bad = []
+        visit_expr(
+            a.arg,
+            lambda e: (
+                refs.append(e.index) if isinstance(e, BoundReference)
+                else bad.append(e) if isinstance(e, BoundAggregate) else None
+            ),
+        )
+        if bad or not refs:
+            return None  # nested aggregate / constant-only argument
+        ref_sides = {_resolve_side(_map(i), lw)[0] for i in refs}
+        if len(ref_sides) != 1:
+            return None
+        side = ref_sides.pop()
+        key = repr(a.arg)
+        if val_key is None:
+            val_side, val_expr, val_key = side, a.arg, key
+        elif key != val_key:
+            return None  # more than one distinct value expression
         specs.append((a.function_name, True))
 
     # ---- execute children (normal recursion; scans/filters run as usual) --
@@ -249,7 +271,26 @@ def _try_route(executor, op, agg, ordered: bool):
 
     dim_key_col = dim_b.columns[rkey.index if dim_side == "right" else lkey.index]
     fact_key_col = fact_b.columns[lkey.index if fact_side == "left" else rkey.index]
-    val_col = fact_b.columns[val_idx] if val_side is not None else None
+    if val_expr is None:
+        val_col = None
+    elif isinstance(val_expr, BoundReference):
+        val_col = fact_b.columns[_resolve_side(_map(val_expr.index), lw)[1]]
+    else:
+        # evaluate the value expression over the fact batch (refs rewritten
+        # from join-output to fact-batch indices): ONE fused program
+        import dataclasses
+
+        from sqlrs_tpu.binder.expression import rewrite_expr
+        from sqlrs_tpu.exec.expression_executor import execute_exprs_fused
+
+        def _rw(e):
+            if isinstance(e, BoundReference):
+                return dataclasses.replace(
+                    e, index=_resolve_side(_map(e.index), lw)[1]
+                )
+            return None
+
+        (val_col,) = execute_exprs_fused([rewrite_expr(val_expr, _rw)], fact_b)
 
     # ---- dynamic checks (two tiny programs + scalar fetches) -------------
     dim_sorted, d_all_valid, d_unique, d_min, d_max = _dim_stats(

@@ -198,6 +198,27 @@ def test_route_extra_dim_group_columns():
         assert routed == plain, sql
 
 
+def test_route_value_expression():
+    """sum/avg over an int EXPRESSION of fact columns (evaluated by the
+    fused expression executor before the kernel)."""
+    db = _mk_db(2000, np.arange(24) * 5 + 2, seed=14)
+    for sql in [
+        "select d.k, sum(f.v * 2 + 1), count(*) from f join d on f.k = d.k "
+        "group by d.k order by d.k",
+        "select d.k, sum(f.v * 3), avg(f.v * 3) from f join d on f.k = d.k "
+        "group by d.k",
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert fired, sql
+        assert routed == plain, sql
+    # two DIFFERENT value expressions: ineligible, falls back correctly
+    sql = ("select d.k, sum(f.v + f.v), avg(f.v * 3) from f join d "
+           "on f.k = d.k group by d.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert not fired
+    assert routed == plain
+
+
 def test_desc_order_routes_via_firstapp():
     """ORDER BY key DESC: the ordered route bails, but the bare-HashAgg
     first-appearance route still fires underneath and the general Order
