@@ -54,6 +54,14 @@ class Executor:
         self.profile = profile  # QueryProfile | None
 
     def execute(self, op: P.PhysicalOperator) -> DeviceBatch:
+        # one-shot reuse of child batches a bailed fused-route attempt
+        # already executed (exec/fused_route.py) — popped on hit so no
+        # intermediate batch outlives its single consumer
+        cache = getattr(self, "_route_cache", None)
+        if cache:
+            hit = cache.pop(id(op), None)
+            if hit is not None:
+                return hit
         method = getattr(self, "_exec_" + type(op).__name__.removeprefix("Physical"))
         if self.profile is None:
             return method(op)

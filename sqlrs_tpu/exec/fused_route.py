@@ -246,8 +246,15 @@ def _try_route(executor, op, agg, ordered: bool):
         specs.append((a.function_name, True))
 
     # ---- execute children (normal recursion; scans/filters run as usual) --
+    # stash the batches in the executor's one-shot cache so a later bail
+    # does NOT re-execute the subtree (the general path pops them)
     left = executor.execute(join.children[0])
     right = executor.execute(join.children[1])
+    cache = getattr(executor, "_route_cache", None)
+    if cache is None:
+        cache = executor._route_cache = {}
+    cache[id(join.children[0])] = left
+    cache[id(join.children[1])] = right
     sides = {"left": left, "right": right}
 
     # ---- choose dim (unique build) side ---------------------------------
@@ -432,6 +439,8 @@ def _try_route(executor, op, agg, ordered: bool):
             ("order_agg_join_direct" if ordered else "agg_join_firstapp")
             + ("_dense" if dense else "")
         )
+    cache.pop(id(join.children[0]), None)  # consumed — don't leak into a
+    cache.pop(id(join.children[1]), None)  # later executor walk
     return DeviceBatch(_out_schema(op, agg), cols, n_out)
 
 
