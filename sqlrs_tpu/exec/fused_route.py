@@ -34,7 +34,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sqlrs_tpu.binder.expression import BoundAggregate, BoundReference
 from sqlrs_tpu.data.batch import Column, DeviceBatch
