@@ -974,8 +974,18 @@ class DistributedExecutor:
 
         b_rowid, p_rowid = rid(left), rid(right)
         cap_b, cap_p = left.capacity, right.capacity
-        bucket_b = max(4 * cap_b // (n_dev * n_dev), 64)
-        bucket_p = max(4 * cap_p // (n_dev * n_dev), 64)
+        # size buckets from LIVE row counts with 2x hash-skew slack, rounded
+        # to a power of two: pow2 quantization makes the compiled phase-a
+        # shapes recur across joins/queries (the persistent cache hits), and
+        # honest sizing makes the overflow-retry recompile a rare event
+        # instead of the common path (each retry is a fresh XLA compile)
+        live_b = int(_host(jnp.sum(left.alive)))
+        live_p = int(_host(jnp.sum(right.alive)))
+        # a (src,dst) bucket receives ~live/n_dev^2 rows under a uniform
+        # hash (salting absorbs hot keys), so 2x that is the honest size;
+        # the x4 retry ladder below covers residual non-hot skew
+        bucket_b = next_pow2(max(2 * live_b // (n_dev * n_dev), 64))
+        bucket_p = next_pow2(max(2 * live_p // (n_dev * n_dev), 64))
         hot_capacity = 1024
         while True:
             a = shuffle_join_phase_a(
@@ -995,7 +1005,12 @@ class DistributedExecutor:
             hot_capacity = min(hot_capacity * 4, next_pow2(max(cap_b, 64)))
         m = max(a.m, 1)
         out_cap = n_dev * n_dev * bucket_p * m
-        if m > self._JOIN_MAX_DUP or out_cap > self._SHUFFLE_MAX_CELLS:
+        # memory guardrail: the strip expansion materializes out_cap cells.
+        # No separate m cap — a high per-key duplication (Q21's
+        # supplier⋈lineitem runs ~600 lineitems per supplier at EVERY scale
+        # factor) is fine when the probe side is small; out_cap already
+        # accounts for the product.
+        if out_cap > self._SHUFFLE_MAX_CELLS:
             return None
         b_cells, p_cells, rowid_out, alive = shuffle_join_phase_b(
             self.mesh, a, len(b_keys), len(b_pay)

@@ -76,9 +76,17 @@ class ShuffleJoinPhaseA:
 
 
 def _combined_hash(key_pairs):
-    """One well-mixed uint64 per row over all encoded key columns."""
+    """One well-mixed uint64 per row over all encoded key columns.
+
+    key_pairs entries are (encoded_key, valid) — the hash MUST consume the
+    encoded key (first element). A round-3 bug unpacked (valid, enc) and
+    hashed the validity bits, which sent every valid row to ONE destination;
+    results stayed correct only because the adaptive skew path then marked
+    that bucket hot and round-robined it, at the cost of real partitioning
+    (and an overflow-retry compile ladder). tests/test_distributed.py
+    test_shuffle_partitions_by_key pins the correct behavior."""
     h = jnp.full(key_pairs[0][0].shape, 0x9E3779B97F4A7C15, jnp.uint64)
-    for _valid, enc in key_pairs:
+    for enc, _valid in key_pairs:
         h = _mix64(h ^ _mix64(enc.astype(jnp.uint64)))
     return h
 

@@ -231,3 +231,35 @@ def test_salted_hot_truncation_is_reported_then_retried(mesh):
     )
     assert np.array_equal(np.asarray(sums), exp_s)
     assert np.array_equal(np.asarray(cnts), exp_c)
+
+
+def test_shuffle_partitions_by_key(mesh):
+    """The exchange hash must consume the KEY encodings (enc, valid) — not
+    the validity bits. Under the round-3 unpack bug every valid row hashed
+    identically, so one destination received everything: the skew detector
+    flagged hot buckets on uniform DISTINCT keys and buckets overflowed at
+    2x-average capacity. Pins: no hot buckets, no overflow, m == 1."""
+    from sqlrs_tpu.parallel.dist_join import shuffle_join_phase_a
+
+    n = 4096
+    rng = np.random.default_rng(5)
+    keys = np.arange(n, dtype=np.int64)
+    perm = rng.permutation(n)
+    ones = jnp.ones((n,), jnp.bool_)
+
+    def put(x, sh=None):
+        return jax.device_put(jnp.asarray(x), sh or row_sharding(mesh))
+
+    b_enc, b_rowid = put(keys), put(np.arange(n, dtype=np.int64))
+    p_enc, p_rowid = put(keys[perm]), put(np.arange(n, dtype=np.int64))
+    valid = put(np.ones(n, np.bool_))
+    a = shuffle_join_phase_a(
+        mesh,
+        [(b_enc, valid)], [], b_rowid, valid,
+        [(p_enc, valid)], [], p_rowid, valid,
+        bucket_b=2 * n // 8, bucket_p=2 * n // 8, hot_capacity=64,
+    )
+    assert a.overflow == 0
+    assert a.n_hot_buckets == 0
+    assert a.m == 1
+    del ones
