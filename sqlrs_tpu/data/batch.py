@@ -227,6 +227,25 @@ class DeviceBatch:
         ]
         return DeviceBatch(self.schema, cols, int(idx.shape[0]))
 
+    def compact(self, keep: "Column", count: int) -> "DeviceBatch":
+        """Rows where `keep` holds (original order), in ONE dispatched
+        program — fused flag-sort compaction + whole-batch gather."""
+        if not self.columns:
+            return DeviceBatch(self.schema, [], count)
+        from sqlrs_tpu.ops.fused import compact_gather_arrays
+
+        flat = compact_gather_arrays(
+            keep.data,
+            keep.valid,
+            tuple(a for c in self.columns for a in (c.data, c.valid)),
+            int(count),
+        )
+        cols = [
+            Column(c.type, flat[2 * ci], flat[2 * ci + 1])
+            for ci, c in enumerate(self.columns)
+        ]
+        return DeviceBatch(self.schema, cols, count)
+
     def slice(self, start: int, length: int) -> "DeviceBatch":
         if not self.columns:
             return DeviceBatch(self.schema, [], length)

@@ -289,6 +289,7 @@ class StringDictionary:
         """Device-resident rank table, cached by dictionary version — callers
         used to jnp.asarray(ranks()) per use, re-transferring the whole table
         (one relay RTT + bytes) every sort/compare."""
+        import jax
         import jax.numpy as jnp
 
         r = self.ranks()
@@ -296,7 +297,10 @@ class StringDictionary:
         if cached is not None and cached.shape[0] == len(r):
             return cached
         dev = jnp.asarray(r)
-        self._ranks_dev = dev
+        if not isinstance(dev, jax.core.Tracer):
+            # never cache under an active jit trace: a cached tracer leaks
+            # out of its trace and poisons later calls (UnexpectedTracerError)
+            self._ranks_dev = dev
         return dev
 
     def match_table(self, key, fn, dtype=np.bool_) -> np.ndarray:

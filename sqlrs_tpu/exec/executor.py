@@ -11,6 +11,7 @@ kernels in sqlrs_tpu/ops/.
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 
 import numpy as np
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ from sqlrs_tpu.ops.grouping import (
     seg_min,
     seg_sum,
 )
+from sqlrs_tpu.ops.fused import mask_count
 from sqlrs_tpu.ops.join import equi_join_pairs
 from sqlrs_tpu.ops.sort import (
     compact_indices,
@@ -108,14 +110,13 @@ class Executor:
             # rows through ONE stable flag-sort; wide tables sort only a
             # permutation (2 operands) and gather — wide payload sorts are
             # heavy to compile AND run (21 mixed operands ~5s at 8.4M)
-            count = int(jnp.sum(jnp.logical_and(keep.data, keep.valid)))
+            count = int(mask_count(keep.data, keep.valid))
             if count == child.num_rows:
                 return child
             if len(child.columns) <= 4:
                 cols = compact_rows(keep, child.columns, count)
                 return DeviceBatch(child.schema, cols, count)
-            idx = compact_indices(keep, count)
-            return child.take(idx)
+            return child.compact(keep, count)
         idx = ew.selection_to_indices(keep)
         return child.take(idx)
 
@@ -263,15 +264,11 @@ class Executor:
                     arg_keys[repr(a.arg)] = len(distinct_args)
                     distinct_args.append(a.arg)
             arg_cols = execute_exprs_fused(distinct_args, child)
-            out_cols = [
-                self._reduce_ungrouped(
-                    a,
-                    arg_cols[arg_keys[repr(a.arg)]] if a.arg is not None else None,
-                    n,
-                    alive,
-                )
+            slots = [
+                arg_keys[repr(a.arg)] if a.arg is not None else None
                 for a in aggs
             ]
+            out_cols = _reduce_ungrouped_fused(aggs, slots, arg_cols, n, alive)
             return DeviceBatch(_schema(op), out_cols, 1)
         if groups and self._distinct_on_sorted_path(op):
             # sorted-run fast path: one variadic sort, no N-sized scatters
@@ -315,46 +312,6 @@ class Executor:
         for a in aggs:
             out_cols.append(self._eval_aggregate(a, child, gid, n_groups))
         return DeviceBatch(_schema(op), out_cols, n_groups)
-
-    def _reduce_ungrouped(self, a, col, n: int, alive=None) -> Column:
-        rt = a.return_type()
-        if col is None:  # count(*)
-            if alive is None:
-                data = jnp.full((1,), n, jnp.int64)
-            else:
-                data = jnp.sum(alive.astype(jnp.int64))[None]
-            return Column(LogicalType.BIGINT, data, jnp.ones(1, jnp.bool_))
-        ok = col.valid if alive is None else (col.valid & alive)
-        cnt = jnp.sum(ok.astype(jnp.int64))
-        has = (cnt > 0)[None]
-        name = a.function_name
-        if name == "count":
-            return Column(LogicalType.BIGINT, cnt[None], jnp.ones(1, jnp.bool_))
-        if name in ("sum", "avg"):
-            acc_t = LogicalType.DOUBLE if name == "avg" else rt
-            s = jnp.sum(
-                jnp.where(ok, col.data.astype(numpy_dtype_for(acc_t)), 0)
-            )
-            if name == "avg":
-                s = s / jnp.maximum(cnt, 1).astype(jnp.float64)
-            return Column(rt, s[None].astype(numpy_dtype_for(rt)), has)
-        if name in ("min", "max"):
-            if col.type == LogicalType.VARCHAR:
-                key, _ = orderable_key(col)
-                big = jnp.iinfo(key.dtype).max
-                k = jnp.where(ok, key, big if name == "min" else -big)
-                i = jnp.argmin(k) if name == "min" else jnp.argmax(k)
-                return Column(LogicalType.VARCHAR, col.data[i][None], has)
-            dt = numpy_dtype_for(col.type)
-            if col.type.is_float():
-                sent = np.inf if name == "min" else -np.inf
-            else:
-                ii = np.iinfo(dt)
-                sent = ii.max if name == "min" else ii.min
-            v = jnp.where(ok, col.data, jnp.asarray(sent, col.data.dtype))
-            r = jnp.min(v) if name == "min" else jnp.max(v)
-            return Column(rt, r[None].astype(numpy_dtype_for(rt)), has)
-        raise ExecutorError(f"unknown aggregate {name}")
 
     def _eval_aggregate(
         self, a: BoundAggregate, batch: DeviceBatch, gid, n_groups: int
@@ -451,27 +408,29 @@ class Executor:
                 return left.slice(0, 0)
         nl = left.num_rows
         matched = self._mark_matches(op, left, right, left_keys, right_keys)
-        keep_mask = matched if op.join_type == "semi" else jnp.logical_not(matched)
-        if op.null_aware and op.join_type == "anti":
-            if correlated:
-                # three-valued NOT IN per correlated group: x NOT IN S(l) is
-                # UNKNOWN (row dropped) iff S(l) is non-empty AND (x IS NULL
-                # or S(l) contains a NULL value); S(l) empty keeps the row,
-                # even for NULL x. op.on[0] is the IN-value pair, op.on[1:]
-                # the correlation keys (binder _bind_in_subquery layout).
-                nonempty, has_null = self._correlated_group_info(
-                    op, left, right, left_keys, right_keys
-                )
-                x_null = jnp.logical_not(left_keys[0].valid)
-                unknown = nonempty & (x_null | has_null)
-                keep_mask = keep_mask & jnp.logical_not(unknown)
-            else:
-                # NULL probe values never pass NOT IN when the inner side is
-                # non-empty
-                keep_mask = keep_mask & left_keys[0].valid
+        if op.null_aware and op.join_type == "anti" and correlated:
+            # three-valued NOT IN per correlated group: x NOT IN S(l) is
+            # UNKNOWN (row dropped) iff S(l) is non-empty AND (x IS NULL
+            # or S(l) contains a NULL value); S(l) empty keeps the row,
+            # even for NULL x. op.on[0] is the IN-value pair, op.on[1:]
+            # the correlation keys (binder _bind_in_subquery layout).
+            nonempty, has_null = self._correlated_group_info(
+                op, left, right, left_keys, right_keys
+            )
+            keep_mask, n_keep = _semi_keep_corr_jit(
+                matched, left_keys[0].valid, nonempty, has_null
+            )
+        else:
+            # NULL probe values never pass NOT IN when the inner side is
+            # non-empty (null_guard)
+            keep_mask, n_keep = _semi_keep_jit(
+                matched,
+                left_keys[0].valid,
+                anti=op.join_type == "anti",
+                null_guard=bool(op.null_aware and op.join_type == "anti"),
+            )
         keep_col = Column(LogicalType.BOOLEAN, keep_mask, jnp.ones(nl, jnp.bool_))
-        n_keep = int(jnp.sum(keep_mask))
-        out = left.take(compact_indices(keep_col, n_keep))
+        out = left.compact(keep_col, int(n_keep))
         return DeviceBatch(out_schema, out.columns, out.num_rows)
 
     def _mark_matches(self, op, left, right, left_keys, right_keys):
@@ -489,7 +448,8 @@ class Executor:
 
         nl = left.num_rows
         if op.filter is None:
-            return match_counts(right_keys, left_keys) > 0
+            # raw counts: the >0 test folds into the keep-mask program
+            return match_counts(right_keys, left_keys)
         ne = None
         f = op.filter
         if (
@@ -512,7 +472,7 @@ class Executor:
             rk_masked = [c.mask_invalid(b_r.valid) for c in right_keys]
             counts_all = match_counts(rk_masked, left_keys)
             counts_eq = match_counts(rk_masked + [b_r], left_keys + [a_l])
-            return a_l.valid & (counts_all - counts_eq > 0)
+            return _ne_mark_jit(counts_all, counts_eq, a_l.valid)
         # general residual: expand pairs, filter, scatter
         l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
         if len(l_idx):
@@ -533,11 +493,11 @@ class Executor:
         if corr_l and op.filter is None:
             from sqlrs_tpu.ops.join import match_counts
 
-            nonempty = match_counts(corr_r, corr_l) > 0
+            # raw counts: the >0 tests fold into _semi_keep_corr_jit
+            nonempty = match_counts(corr_r, corr_l)
             null_rows = jnp.logical_not(right_keys[0].valid)
-            has_null = (
-                match_counts([c.mask_invalid(null_rows) for c in corr_r], corr_l)
-                > 0
+            has_null = match_counts(
+                [c.mask_invalid(null_rows) for c in corr_r], corr_l
             )
             return nonempty, has_null
         if corr_l:
@@ -580,10 +540,24 @@ class Executor:
             left_keys = [c.mask_invalid(l_alive) for c in left_keys]
         if r_alive is not None:
             right_keys = [c.mask_invalid(r_alive) for c in right_keys]
-        from sqlrs_tpu.ops.join import expand_pairs, pair_ranges
+        from sqlrs_tpu.ops.join import (
+            expand_gather_pairs,
+            expand_pairs,
+            pair_ranges,
+        )
 
         pr = pair_ranges(left_keys, right_keys)
         total = pr[3] if pr is not None else 0
+        if op.join_type == "inner" and op.filter is None and total > 0:
+            # non-residual inner join: pair expansion + output gather in ONE
+            # program (the common TPC-H shape — saves a dispatch per join)
+            ld, lv, rd, rv = expand_gather_pairs(pr, left.columns, right.columns)
+            cols = [
+                Column(c.type, d, v) for c, d, v in zip(left.columns, ld, lv)
+            ] + [
+                Column(c.type, d, v) for c, d, v in zip(right.columns, rd, rv)
+            ]
+            return DeviceBatch(_schema(op), cols, total)
         budget = getattr(self.db, "join_pair_budget", 1 << 25)
         if op.filter is not None and total > budget:
             # bounded-memory path: the full pair set would exceed the cell
@@ -594,19 +568,41 @@ class Executor:
             l_idx, r_idx = self._residual_pairs_chunked(
                 op, left, right, pr, budget
             )
-        else:
-            l_idx, r_idx = (
-                expand_pairs(*pr) if pr is not None
-                else (np.zeros(0, np.int64), np.zeros(0, np.int64))
-            )
-            l_idx, r_idx = jnp.asarray(l_idx), jnp.asarray(r_idx)
-
-            if op.filter is not None and len(l_idx):
-                # device-side residual compaction over ONLY the referenced
-                # columns: evaluate the filter on the pairs, flag-sort-
-                # compact the index pairs — the only host sync is the
-                # surviving count (the old path shipped an N-sized selection
-                # through numpy and gathered every output column first)
+        elif op.filter is not None and total > 0:
+            # device-side residual compaction over ONLY the referenced
+            # columns, fused: ONE program expands the pairs, evaluates the
+            # filter, and counts survivors; the only host sync is the count.
+            # A second program compacts — and for inner joins also gathers
+            # every output column, finishing the join.
+            res = _residual_fused_phase1(op.filter, left, right, pr)
+            if res is not None:
+                l_idx_u, r_idx_u, kd, cnt_dev = res
+                cnt = int(cnt_dev)
+                if op.join_type == "inner":
+                    ld, lv, rd, rv = _compact_gather_pairs_jit(
+                        l_idx_u, r_idx_u, kd,
+                        tuple(c.data for c in left.columns),
+                        tuple(c.valid for c in left.columns),
+                        tuple(c.data for c in right.columns),
+                        tuple(c.valid for c in right.columns),
+                        count=cnt,
+                    )
+                    cols = [
+                        Column(c.type, d, v)
+                        for c, d, v in zip(left.columns, ld, lv)
+                    ] + [
+                        Column(c.type, d, v)
+                        for c, d, v in zip(right.columns, rd, rv)
+                    ]
+                    return DeviceBatch(_schema(op), cols, cnt)
+                l_idx, r_idx = _compact_pairs_jit(
+                    l_idx_u, r_idx_u, kd, count=cnt
+                )
+            else:
+                # unfusable residual (host-concretizing expression): the
+                # unfused chain — expand, eval, flag-sort-compact
+                l_idx, r_idx = expand_pairs(*pr)
+                l_idx, r_idx = jnp.asarray(l_idx), jnp.asarray(r_idx)
                 keep = _eval_residual_on_pairs(
                     op.filter, left, right, l_idx, r_idx
                 )
@@ -615,6 +611,12 @@ class Executor:
                 from sqlrs_tpu.ops.fused import gather_arrays
 
                 l_idx, r_idx = gather_arrays((l_idx, r_idx), sel)
+        else:
+            l_idx, r_idx = (
+                expand_pairs(*pr) if pr is not None
+                else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            )
+            l_idx, r_idx = jnp.asarray(l_idx), jnp.asarray(r_idx)
 
         # Unmatched-row passes, device-side: a scatter marks visited rows
         # and a flag-sort compaction extracts the unmatched index set (the
@@ -837,12 +839,10 @@ def _expand_pair_chunk_jit(starts_p, counts_p, order, r0, nrows, W, B2):
     return l_idx, r_idx, valid
 
 
-def _eval_residual_on_pairs(filter_expr, left, right, l_idx, r_idx):
-    """Evaluate a join residual over (l_idx, r_idx) pairs, gathering ONLY
-    the columns the filter references (the filter is positional against the
-    left++right layout). A wide join used to materialize every output
-    column just to decide which pairs survive — at SF1 Q21 that is
-    gigabytes of unused gather traffic."""
+def _residual_subplan(filter_expr, left, right):
+    """(expr2, sub_fields, l_pick, r_pick): the filter rewritten against the
+    compacted layout of ONLY the columns it references, plus per-side column
+    index lists (the filter is positional against left++right)."""
     from sqlrs_tpu.binder.expression import BoundReference, rewrite_expr, visit_expr
 
     refs: set[int] = set()
@@ -862,22 +862,279 @@ def _eval_residual_on_pairs(filter_expr, left, right, l_idx, r_idx):
 
     expr2 = rewrite_expr(filter_expr, _remap)
     nl = len(left.columns)
-    l_cols = [left.columns[i] for i in order if i < nl]
-    r_cols = [right.columns[i - nl] for i in order if i >= nl]
     all_fields = tuple(left.schema.fields) + tuple(right.schema.fields)
-    sub_fields = [all_fields[i] for i in order]
+    sub_fields = tuple(all_fields[i] for i in order)
+    l_pick = [i for i in order if i < nl]
+    r_pick = [i - nl for i in order if i >= nl]
+    return expr2, sub_fields, l_pick, r_pick
+
+
+# (expr repr, shapes, dict version) -> jitted phase-1 program | False when the
+# expression concretizes at trace time (host string work) and can never fuse
+_RESIDUAL_FUSED_CACHE: OrderedDict = OrderedDict()
+_RESIDUAL_FUSED_CACHE_MAX = 256
+
+
+def _residual_fused_phase1(filter_expr, left, right, pr):
+    """Pair expansion + residual evaluation + survivor count in ONE compiled
+    program: returns (l_idx, r_idx, keep, count) on device, or None when the
+    expression cannot trace (eager fallback). The unfused chain costs four
+    dispatches (expand, gather, eval, reduce); over a remote-TPU relay each
+    is ~28 ms."""
+    from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+    from sqlrs_tpu.ops.join import _expand_body
+
+    starts, counts, order_arr, total = pr
+    expr2, sub_fields, l_pick, r_pick = _residual_subplan(
+        filter_expr, left, right
+    )
+    sig = (
+        repr(expr2),
+        total,
+        tuple(
+            (f.type, str(c.data.dtype), c.data.shape[0])
+            for f, c in zip(left.schema.fields, left.columns)
+        ),
+        tuple(
+            (f.type, str(c.data.dtype), c.data.shape[0])
+            for f, c in zip(right.schema.fields, right.columns)
+        ),
+        len(GLOBAL_STRINGS),
+    )
+    entry = _RESIDUAL_FUSED_CACHE.get(sig)
+    if entry is False:
+        return None
+    if entry is not None:
+        _RESIDUAL_FUSED_CACHE.move_to_end(sig)
+    else:
+        sub_schema = Schema(sub_fields)
+        n_l = len(l_pick)
+
+        def phase1(starts, counts, order_arr, datas, valids):
+            l_idx, r_idx = _expand_body(starts, counts, order_arr, total)
+            cols = [
+                Column(f.type, d[l_idx], v[l_idx])
+                for f, d, v in zip(sub_fields[:n_l], datas[:n_l], valids[:n_l])
+            ] + [
+                Column(f.type, d[r_idx], v[r_idx])
+                for f, d, v in zip(sub_fields[n_l:], datas[n_l:], valids[n_l:])
+            ]
+            pairs = DeviceBatch(sub_schema, cols, total)
+            keep = execute_expr(expr2, pairs)
+            kd = jnp.logical_and(keep.data, keep.valid)
+            return l_idx, r_idx, kd, jnp.sum(kd)
+
+        entry = jax.jit(phase1)
+        _RESIDUAL_FUSED_CACHE[sig] = entry
+        while len(_RESIDUAL_FUSED_CACHE) > _RESIDUAL_FUSED_CACHE_MAX:
+            _RESIDUAL_FUSED_CACHE.popitem(last=False)
+    datas = tuple(left.columns[i].data for i in l_pick) + tuple(
+        right.columns[i].data for i in r_pick
+    )
+    valids = tuple(left.columns[i].valid for i in l_pick) + tuple(
+        right.columns[i].valid for i in r_pick
+    )
+    try:
+        return entry(starts, counts, order_arr, datas, valids)
+    except jax.errors.JAXTypeError:
+        _RESIDUAL_FUSED_CACHE[sig] = False  # concretizes: never fusable
+        return None
+    except Exception:
+        return None  # transient (OOM/backend): unfused fallback this once
+
+
+def _reduce_one_ungrouped(a, col, n: int, alive=None) -> Column:
+    rt = a.return_type()
+    if col is None:  # count(*)
+        if alive is None:
+            data = jnp.full((1,), n, jnp.int64)
+        else:
+            data = jnp.sum(alive.astype(jnp.int64))[None]
+        return Column(LogicalType.BIGINT, data, jnp.ones(1, jnp.bool_))
+    ok = col.valid if alive is None else (col.valid & alive)
+    cnt = jnp.sum(ok.astype(jnp.int64))
+    has = (cnt > 0)[None]
+    name = a.function_name
+    if name == "count":
+        return Column(LogicalType.BIGINT, cnt[None], jnp.ones(1, jnp.bool_))
+    if name in ("sum", "avg"):
+        acc_t = LogicalType.DOUBLE if name == "avg" else rt
+        s = jnp.sum(
+            jnp.where(ok, col.data.astype(numpy_dtype_for(acc_t)), 0)
+        )
+        if name == "avg":
+            s = s / jnp.maximum(cnt, 1).astype(jnp.float64)
+        return Column(rt, s[None].astype(numpy_dtype_for(rt)), has)
+    if name in ("min", "max"):
+        if col.type == LogicalType.VARCHAR:
+            key, _ = orderable_key(col)
+            big = jnp.iinfo(key.dtype).max
+            k = jnp.where(ok, key, big if name == "min" else -big)
+            i = jnp.argmin(k) if name == "min" else jnp.argmax(k)
+            return Column(LogicalType.VARCHAR, col.data[i][None], has)
+        dt = numpy_dtype_for(col.type)
+        if col.type.is_float():
+            sent = np.inf if name == "min" else -np.inf
+        else:
+            ii = np.iinfo(dt)
+            sent = ii.max if name == "min" else ii.min
+        v = jnp.where(ok, col.data, jnp.asarray(sent, col.data.dtype))
+        r = jnp.min(v) if name == "min" else jnp.max(v)
+        return Column(rt, r[None].astype(numpy_dtype_for(rt)), has)
+    raise ExecutorError(f"unknown aggregate {name}")
+
+# (agg reprs, shapes, alive?, dict version) -> jitted all-aggregates program
+_UNGROUPED_FUSED_CACHE: OrderedDict = OrderedDict()
+_UNGROUPED_FUSED_CACHE_MAX = 256
+
+
+def _reduce_ungrouped_fused(aggs, slots, arg_cols, n: int, alive=None):
+    """ALL ungrouped aggregates of a SimpleAgg in ONE compiled program
+    (each reduction alone costs 3-6 eager dispatches — where/sum/compare —
+    so a multi-aggregate SELECT paid a relay RTT per op). Falls back to the
+    per-aggregate eager path if the fused program cannot trace."""
+    from sqlrs_tpu.data.strings import GLOBAL_STRINGS
+
+    sig = (
+        tuple(repr(a) for a in aggs),
+        tuple(slots),
+        tuple((c.type, str(c.data.dtype)) for c in arg_cols),
+        n,
+        alive is not None,
+        len(GLOBAL_STRINGS),
+    )
+    entry = _UNGROUPED_FUSED_CACHE.get(sig)
+    if entry is False:
+        return _reduce_ungrouped_eager(aggs, slots, arg_cols, n, alive)
+    if entry is not None:
+        _UNGROUPED_FUSED_CACHE.move_to_end(sig)
+    else:
+        types = [c.type for c in arg_cols]
+        out_types: list = []
+
+        def prog(datas, valids, alive_arr):
+            cols = [
+                Column(t, d, v) for t, d, v in zip(types, datas, valids)
+            ]
+            outs = [
+                _reduce_one_ungrouped(
+                    a, cols[s] if s is not None else None, n, alive_arr
+                )
+                for a, s in zip(aggs, slots)
+            ]
+            if not out_types:
+                out_types.extend(c.type for c in outs)
+            return tuple(c.data for c in outs), tuple(c.valid for c in outs)
+
+        entry = (jax.jit(prog), out_types)
+        _UNGROUPED_FUSED_CACHE[sig] = entry
+        while len(_UNGROUPED_FUSED_CACHE) > _UNGROUPED_FUSED_CACHE_MAX:
+            _UNGROUPED_FUSED_CACHE.popitem(last=False)
+    fn, out_types = entry
+    try:
+        od, ov = fn(
+            tuple(c.data for c in arg_cols),
+            tuple(c.valid for c in arg_cols),
+            alive,
+        )
+    except jax.errors.JAXTypeError:
+        _UNGROUPED_FUSED_CACHE[sig] = False
+        return _reduce_ungrouped_eager(aggs, slots, arg_cols, n, alive)
+    except Exception:
+        return _reduce_ungrouped_eager(aggs, slots, arg_cols, n, alive)
+    return [Column(t, d, v) for t, d, v in zip(out_types, od, ov)]
+
+
+def _reduce_ungrouped_eager(aggs, slots, arg_cols, n: int, alive=None):
+    return [
+        _reduce_one_ungrouped(
+            a, arg_cols[s] if s is not None else None, n, alive
+        )
+        for a, s in zip(aggs, slots)
+    ]
+
+
+@jax.jit
+def _ne_mark_jit(counts_all, counts_eq, a_valid):
+    """Count-based `a <> b` mark: a key match with a DIFFERENT b exists."""
+    return a_valid & (counts_all - counts_eq > 0)
+
+
+def _as_bool_mark(matched):
+    # _mark_matches hands back raw match COUNTS where it can (the >0 test
+    # fuses here instead of costing its own dispatch)
+    return matched if matched.dtype == jnp.bool_ else matched > 0
+
+
+@functools.partial(jax.jit, static_argnames=("anti", "null_guard"))
+def _semi_keep_jit(matched, x_valid, anti: bool, null_guard: bool):
+    """Semi/anti keep mask + survivor count in ONE program (the eager
+    not/and/sum chain cost three dispatches)."""
+    m = _as_bool_mark(matched)
+    keep = jnp.logical_not(m) if anti else m
+    if null_guard:
+        keep = keep & x_valid
+    return keep, jnp.sum(keep)
+
+
+@jax.jit
+def _semi_keep_corr_jit(matched, x_valid, nonempty, has_null):
+    """Correlated null-aware NOT IN keep mask + count (anti only)."""
+    unknown = _as_bool_mark(nonempty) & (
+        jnp.logical_not(x_valid) | _as_bool_mark(has_null)
+    )
+    keep = jnp.logical_not(_as_bool_mark(matched)) & jnp.logical_not(unknown)
+    return keep, jnp.sum(keep)
+
+
+@functools.partial(jax.jit, static_argnames=("count",))
+def _compact_pairs_jit(l_idx, r_idx, keep, count: int):
+    """Surviving (l_idx, r_idx) in unchanged probe-major order: ONE stable
+    3-operand flag sort (replaces separate compact_indices + gather)."""
+    drop = jnp.logical_not(keep).astype(jnp.int32)
+    _, li, ri = jax.lax.sort((drop, l_idx, r_idx), num_keys=1, is_stable=True)
+    return li[:count], ri[:count]
+
+
+@functools.partial(jax.jit, static_argnames=("count",))
+def _compact_gather_pairs_jit(
+    l_idx, r_idx, keep, l_datas, l_valids, r_datas, r_valids, count: int
+):
+    """Residual-join tail for INNER joins: compact the survivors AND gather
+    every output column in ONE program."""
+    drop = jnp.logical_not(keep).astype(jnp.int32)
+    _, li, ri = jax.lax.sort((drop, l_idx, r_idx), num_keys=1, is_stable=True)
+    li, ri = li[:count], ri[:count]
+    return (
+        tuple(a[li] for a in l_datas),
+        tuple(a[li] for a in l_valids),
+        tuple(a[ri] for a in r_datas),
+        tuple(a[ri] for a in r_valids),
+    )
+
+
+def _eval_residual_on_pairs(filter_expr, left, right, l_idx, r_idx):
+    """Evaluate a join residual over (l_idx, r_idx) pairs, gathering ONLY
+    the columns the filter references (the filter is positional against the
+    left++right layout). A wide join used to materialize every output
+    column just to decide which pairs survive — at SF1 Q21 that is
+    gigabytes of unused gather traffic."""
+    expr2, sub_fields, l_pick, r_pick = _residual_subplan(
+        filter_expr, left, right
+    )
+    n_l = len(l_pick)
     left_sub = DeviceBatch(
-        Schema(tuple(f for i, f in zip(order, sub_fields) if i < nl)),
-        l_cols,
+        Schema(sub_fields[:n_l]),
+        [left.columns[i] for i in l_pick],
         left.num_rows,
     )
     right_sub = DeviceBatch(
-        Schema(tuple(f for i, f in zip(order, sub_fields) if i >= nl)),
-        r_cols,
+        Schema(sub_fields[n_l:]),
+        [right.columns[i] for i in r_pick],
         right.num_rows,
     )
     pairs = _merge_rows_schema(
-        Schema(tuple(sub_fields)), left_sub, right_sub, l_idx, r_idx
+        Schema(sub_fields), left_sub, right_sub, l_idx, r_idx
     )
     # fused: a Q19-sized residual (nested AND/OR over a dozen comparisons)
     # costs ~450 eager dispatches — one compiled program instead

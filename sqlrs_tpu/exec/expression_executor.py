@@ -52,6 +52,11 @@ def execute_exprs_fused(exprs, batch: DeviceBatch) -> list[Column]:
         or not exprs
     ):
         return [execute_expr(e, batch) for e in exprs]
+    if all(isinstance(e, BoundReference) for e in exprs):
+        # pure column selection (pruning projections, most join/order keys):
+        # ZERO device programs — an identity jit still costs a dispatch
+        # (~28 ms over a remote-TPU relay)
+        return [batch.columns[e.index] for e in exprs]
     import jax
 
     from sqlrs_tpu.data.strings import GLOBAL_STRINGS

@@ -45,3 +45,27 @@ def concat_arrays(parts):
     """parts: list of tuples of arrays (same structure). Concatenates
     position-wise in one dispatch."""
     return tuple(jnp.concatenate(cols) for cols in zip(*parts))
+
+
+@jax.jit
+def mask_count(keep_data, keep_valid):
+    """Surviving-row count of a selection mask in ONE dispatch (eager
+    `jnp.sum(jnp.logical_and(...))` costs two)."""
+    return jnp.sum(jnp.logical_and(keep_data, keep_valid))
+
+
+@partial(jax.jit, static_argnames=("count",))
+def compact_gather_arrays(keep_data, keep_valid, arrays, count: int):
+    """Flag-sort compaction AND gather of every array in ONE program:
+    the rows where `keep` holds, in original order, sliced to `count`
+    (separate compact_indices + gather programs cost an extra dispatch —
+    ~28 ms over a remote-TPU relay)."""
+    drop = jnp.logical_not(jnp.logical_and(keep_data, keep_valid))
+    n = drop.shape[0]
+    _, perm = jax.lax.sort(
+        (drop.astype(jnp.int32), jnp.arange(n, dtype=jnp.int64)),
+        num_keys=1,
+        is_stable=True,
+    )
+    idx = perm[:count]
+    return tuple(a[idx] for a in arrays)

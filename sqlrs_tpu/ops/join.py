@@ -102,8 +102,8 @@ def _pairs_phase_a(l_ops, r_ops, num_keys: int):
     return starts, counts, order[:nl], jnp.sum(counts)
 
 
-@partial(jax.jit, static_argnames=("total",))
-def _pairs_phase_b(starts, counts, order, total: int):
+def _expand_body(starts, counts, order, total: int):
+    """Trace-time pair expansion shared by the phase-B jits."""
     nr = counts.shape[0]
     r_idx = jnp.repeat(
         jnp.arange(nr, dtype=jnp.int64), counts, total_repeat_length=total
@@ -116,6 +116,40 @@ def _pairs_phase_b(starts, counts, order, total: int):
     )
     l_idx = order[jnp.clip(pos, 0, order.shape[0] - 1)]
     return l_idx, r_idx
+
+
+@partial(jax.jit, static_argnames=("total",))
+def _pairs_phase_b(starts, counts, order, total: int):
+    return _expand_body(starts, counts, order, total)
+
+
+@partial(jax.jit, static_argnames=("total",))
+def _expand_gather_jit(starts, counts, order, l_datas, l_valids, r_datas,
+                       r_valids, total: int):
+    l_idx, r_idx = _expand_body(starts, counts, order, total)
+    return (
+        tuple(a[l_idx] for a in l_datas),
+        tuple(a[l_idx] for a in l_valids),
+        tuple(a[r_idx] for a in r_datas),
+        tuple(a[r_idx] for a in r_valids),
+    )
+
+
+def expand_gather_pairs(pr, left_cols, right_cols):
+    """Phase B fused with the output-column gather: expand a pair_ranges
+    result AND materialize every output column in ONE compiled program
+    (separate expand + gather programs cost an extra dispatch per join —
+    ~28 ms over a remote-TPU relay). Inner-join fast path; callers that
+    need the raw index pairs (residual filters, outer joins) use
+    expand_pairs."""
+    return _expand_gather_jit(
+        pr[0], pr[1], pr[2],
+        tuple(c.data for c in left_cols),
+        tuple(c.valid for c in left_cols),
+        tuple(c.data for c in right_cols),
+        tuple(c.valid for c in right_cols),
+        total=pr[3],
+    )
 
 
 def match_counts(build_keys: list[Column], probe_keys: list[Column]):
