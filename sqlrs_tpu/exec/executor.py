@@ -42,7 +42,7 @@ from sqlrs_tpu.ops.sort import (
     compact_indices,
     compact_rows,
     orderable_key,
-    sort_indices,
+    sort_gather_rows,
     sort_rows,
 )
 from sqlrs_tpu.plan import physical as P
@@ -195,8 +195,10 @@ class Executor:
         keys = [(c, asc) for c, (_, asc) in zip(key_cols, op.items)]
         if len(child.columns) <= 6:
             cols = sort_rows(keys, child.columns)
-            return DeviceBatch(child.schema, cols, child.num_rows)
-        return child.take(sort_indices(keys))
+        else:
+            # wide tables: 2-operand permutation sort + gather, ONE program
+            cols = sort_gather_rows(keys, child.columns)
+        return DeviceBatch(child.schema, cols, child.num_rows)
 
     # ---- aggregation ------------------------------------------------------------
 
@@ -627,25 +629,44 @@ class Executor:
         # so `... right join department` emits Finance between Marketing
         # and Engineering. Unmatched left rows come from a final pass and
         # append at the end (reference hash_join.rs:294-322).
-        if op.join_type in ("right", "full"):
-            um_r, n_um = _unmatched_indices(r_idx, right.num_rows)
-            all_l = jnp.concatenate(
-                [l_idx, jnp.full((n_um,), jnp.int64(-1))]
+        if op.join_type in ("left", "right", "full"):
+            # fused outer-join emission: ONE mask+count program, then ONE
+            # program interleaving/appending unmatched rows and gathering
+            # every output column (was ~8 dispatches per outer join)
+            need_r = op.join_type in ("right", "full")
+            need_l = op.join_type in ("left", "full")
+            l_idx, r_idx = jnp.asarray(l_idx), jnp.asarray(r_idx)
+            outs = _unmatched_masks_jit(
+                l_idx, r_idx, nl=left.num_rows, nr=right.num_rows,
+                need_l=need_l, need_r=need_r,
             )
-            all_r = jnp.concatenate([r_idx, um_r])
-            # stable sort by probe row interleaves unmatched rows at their
-            # probe positions (pair order within a probe row is preserved)
-            all_r, all_l = jax.lax.sort(
-                (all_r, all_l), num_keys=1, is_stable=True
+            dummy = jnp.zeros((0,), jnp.bool_)
+            um_r_mask = um_l_mask = dummy
+            n_um_r = n_um_l = 0
+            k = 0
+            if need_r:
+                um_r_mask, n_um_r = outs[0], int(outs[1])
+                k = 2
+            if need_l:
+                um_l_mask, n_um_l = outs[k], int(outs[k + 1])
+            ld, lv, rd, rv = _outer_join_tail_jit(
+                l_idx, r_idx, um_r_mask, um_l_mask,
+                tuple(c.data for c in left.columns),
+                tuple(c.valid for c in left.columns),
+                tuple(c.data for c in right.columns),
+                tuple(c.valid for c in right.columns),
+                n_um_r=n_um_r, n_um_l=n_um_l, jt=op.join_type,
+                l_fills=_null_fills(left.columns),
+                r_fills=_null_fills(right.columns),
             )
-            matched_part = _merge_rows_nullable(op, left, right, all_l, all_r)
-        else:
-            matched_part = _merge_rows(op, left, right, l_idx, r_idx)
-        parts = [matched_part]
-        if op.join_type in ("left", "full"):
-            um_l, _ = _unmatched_indices(l_idx, left.num_rows)
-            parts.append(_merge_rows(op, left, right, um_l, None))
-        return DeviceBatch.concat(parts)
+            n_out = int(l_idx.shape[0]) + n_um_r + n_um_l
+            cols = [
+                Column(c.type, d, v) for c, d, v in zip(left.columns, ld, lv)
+            ] + [
+                Column(c.type, d, v) for c, d, v in zip(right.columns, rd, rv)
+            ]
+            return DeviceBatch(_schema(op), cols, n_out)
+        return _merge_rows(op, left, right, l_idx, r_idx)
 
     def _residual_pairs_chunked(self, op, left, right, pr, budget: int):
         """Expand + residual-filter join pairs in bounded-memory chunks.
@@ -1096,6 +1117,77 @@ def _compact_pairs_jit(l_idx, r_idx, keep, count: int):
     return li[:count], ri[:count]
 
 
+@functools.partial(jax.jit, static_argnames=("nl", "nr", "need_l", "need_r"))
+def _unmatched_masks_jit(l_idx, r_idx, nl: int, nr: int,
+                         need_l: bool, need_r: bool):
+    """Unmatched-row masks + counts for outer joins, ONE program (the old
+    per-side scatter/not/sum chain cost ~4 dispatches per side)."""
+    outs: list = []
+    if need_r:
+        um_r = jnp.logical_not(jnp.zeros((nr,), jnp.bool_).at[r_idx].set(True))
+        outs += [um_r, jnp.sum(um_r)]
+    if need_l:
+        um_l = jnp.logical_not(jnp.zeros((nl,), jnp.bool_).at[l_idx].set(True))
+        outs += [um_l, jnp.sum(um_l)]
+    return tuple(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_um_r", "n_um_l", "jt", "l_fills", "r_fills")
+)
+def _outer_join_tail_jit(l_idx, r_idx, um_r_mask, um_l_mask,
+                         l_datas, l_valids, r_datas, r_valids,
+                         n_um_r: int, n_um_l: int, jt: str,
+                         l_fills: tuple, r_fills: tuple):
+    """The ENTIRE left/right/full join emission in ONE program: compact the
+    unmatched indices, interleave unmatched-right rows at their probe
+    positions (stable sort by probe row — reference hash_join.rs:73-121),
+    append unmatched-left rows (hash_join.rs:294-322), gather every output
+    column, and fill NULL lanes (valid=False, null_column fill values).
+    The unfused chain cost ~8 dispatches per outer join."""
+    all_l, all_r = l_idx, r_idx
+    if jt in ("right", "full"):
+        nr = um_r_mask.shape[0]
+        _, perm = jax.lax.sort(
+            (jnp.logical_not(um_r_mask).astype(jnp.int32),
+             jnp.arange(nr, dtype=jnp.int64)),
+            num_keys=1, is_stable=True,
+        )
+        um_r = perm[:n_um_r]
+        all_l = jnp.concatenate([all_l, jnp.full((n_um_r,), jnp.int64(-1))])
+        all_r = jnp.concatenate([all_r, um_r])
+        all_r, all_l = jax.lax.sort((all_r, all_l), num_keys=1, is_stable=True)
+    if jt in ("left", "full"):
+        nl = um_l_mask.shape[0]
+        _, perm = jax.lax.sort(
+            (jnp.logical_not(um_l_mask).astype(jnp.int32),
+             jnp.arange(nl, dtype=jnp.int64)),
+            num_keys=1, is_stable=True,
+        )
+        um_l = perm[:n_um_l]
+        all_l = jnp.concatenate([all_l, um_l])
+        all_r = jnp.concatenate([all_r, jnp.full((n_um_l,), jnp.int64(-1))])
+    li, l_live = jnp.maximum(all_l, 0), all_l >= 0
+    ri, r_live = jnp.maximum(all_r, 0), all_r >= 0
+    ld = tuple(
+        jnp.where(l_live, a[li], jnp.asarray(f, a.dtype))
+        for a, f in zip(l_datas, l_fills)
+    )
+    lv = tuple(a[li] & l_live for a in l_valids)
+    rd = tuple(
+        jnp.where(r_live, a[ri], jnp.asarray(f, a.dtype))
+        for a, f in zip(r_datas, r_fills)
+    )
+    rv = tuple(a[ri] & r_live for a in r_valids)
+    return ld, lv, rd, rv
+
+
+def _null_fills(cols) -> tuple:
+    return tuple(
+        NULL_CODE if c.type == LogicalType.VARCHAR else 0 for c in cols
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("count",))
 def _compact_gather_pairs_jit(
     l_idx, r_idx, keep, l_datas, l_valids, r_datas, r_valids, count: int
@@ -1174,26 +1266,6 @@ def _gather_pairs(op, left, right, li, ri, l_live=None) -> DeviceBatch:
     return DeviceBatch(_schema(op), cols, n)
 
 
-def _unmatched_indices(idx, n: int):
-    """Device-side unmatched-row detection: scatter a visited bitmap at the
-    matched indices, then flag-sort-compact the complement. ONE host sync
-    (the unmatched count)."""
-    visited = jnp.zeros((n,), jnp.bool_)
-    if len(idx):
-        visited = visited.at[idx].set(True)
-    unmatched = jnp.logical_not(visited)
-    cnt = int(jnp.sum(unmatched))
-    keep = Column(LogicalType.BOOLEAN, unmatched, jnp.ones(n, jnp.bool_))
-    return compact_indices(keep, cnt), cnt
-
-
-def _merge_rows_nullable(op, left: DeviceBatch, right: DeviceBatch, l_idx, r_idx) -> DeviceBatch:
-    """Like _merge_rows but a -1 left index means NULL left columns for that
-    row (mixed matched/unmatched-right emission)."""
-    li = jnp.maximum(jnp.asarray(l_idx), 0)
-    l_valid = jnp.asarray(l_idx) >= 0
-    ri = jnp.asarray(r_idx)
-    return _gather_pairs(op, left, right, li, ri, l_live=l_valid)
 
 
 def _merge_rows(op, left: DeviceBatch, right: DeviceBatch, l_idx, r_idx) -> DeviceBatch:

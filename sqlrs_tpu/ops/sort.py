@@ -140,6 +140,37 @@ def _sort_rows_jit(kdatas, kvalids, rank, pdatas, pvalids, kinds, ascs):
     return tuple(res_d), tuple(res_v)
 
 
+@partial(jax.jit, static_argnames=("kinds", "ascs"))
+def _sort_gather_jit(kdatas, kvalids, rank, datas, valids, kinds, ascs):
+    """Wide-table ORDER BY in ONE program: 2-operand permutation sort +
+    whole-batch gather (a separate take program costs an extra dispatch —
+    ~28 ms over a remote-TPU relay). The payload-carrying sort stays the
+    choice for narrow tables (compile + runtime measured better ≤6 cols)."""
+    n = kdatas[0].shape[0]
+    ops = [
+        _directed_traced(k, a, d, v, rank)
+        for k, a, d, v in zip(kinds, ascs, kdatas, kvalids)
+    ]
+    ops.append(jnp.arange(n, dtype=jnp.int64))
+    perm = jax.lax.sort(tuple(ops), num_keys=len(kinds), is_stable=True)[-1]
+    return tuple(a[perm] for a in datas), tuple(a[perm] for a in valids)
+
+
+def sort_gather_rows(items, columns):
+    """Permutation-sort + gather every column, one dispatch (wide tables)."""
+    kcols = [c for c, _ in items]
+    res_d, res_v = _sort_gather_jit(
+        tuple(c.data for c in kcols),
+        tuple(c.valid for c in kcols),
+        _rank_table_for(kcols),
+        tuple(c.data for c in columns),
+        tuple(c.valid for c in columns),
+        tuple(key_kind(c.type) for c in kcols),
+        tuple(bool(a) for _, a in items),
+    )
+    return [Column(c.type, d, v) for c, d, v in zip(columns, res_d, res_v)]
+
+
 @partial(jax.jit, static_argnames=("count",))
 def _compact_indices_jit(keep_data, keep_valid, count: int):
     drop = jnp.logical_not(jnp.logical_and(keep_data, keep_valid))
