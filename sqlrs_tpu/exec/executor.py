@@ -739,9 +739,21 @@ class Executor:
         right = self.execute(op.children[1])
         nl, nr = left.num_rows, right.num_rows
         # left-major emission (reference src/executor/join/cross_join.rs:25)
-        l_idx = np.repeat(np.arange(nl, dtype=np.int64), nr)
-        r_idx = np.tile(np.arange(nr, dtype=np.int64), nl)
-        return _merge_rows(op, left, right, l_idx, r_idx)
+        # — indices generated AND gathered in ONE device program (the old
+        # path materialized two nl*nr host arrays and shipped them over)
+        ld, lv, rd, rv = _cross_join_jit(
+            tuple(c.data for c in left.columns),
+            tuple(c.valid for c in left.columns),
+            tuple(c.data for c in right.columns),
+            tuple(c.valid for c in right.columns),
+            nl=nl, nr=nr,
+        )
+        cols = [
+            Column(c.type, d, v) for c, d, v in zip(left.columns, ld, lv)
+        ] + [
+            Column(c.type, d, v) for c, d, v in zip(right.columns, rd, rv)
+        ]
+        return DeviceBatch(_schema(op), cols, nl * nr)
 
     # ---- DDL / DML ---------------------------------------------------------------
 
@@ -1180,6 +1192,19 @@ def _outer_join_tail_jit(l_idx, r_idx, um_r_mask, um_l_mask,
     )
     rv = tuple(a[ri] & r_live for a in r_valids)
     return ld, lv, rd, rv
+
+
+@functools.partial(jax.jit, static_argnames=("nl", "nr"))
+def _cross_join_jit(l_datas, l_valids, r_datas, r_valids, nl: int, nr: int):
+    """Cross-join emission (left-major) in ONE program."""
+    l_idx = jnp.repeat(jnp.arange(nl, dtype=jnp.int64), nr)
+    r_idx = jnp.tile(jnp.arange(nr, dtype=jnp.int64), nl)
+    return (
+        tuple(a[l_idx] for a in l_datas),
+        tuple(a[l_idx] for a in l_valids),
+        tuple(a[r_idx] for a in r_datas),
+        tuple(a[r_idx] for a in r_valids),
+    )
 
 
 def _null_fills(cols) -> tuple:
