@@ -471,9 +471,10 @@ class Executor:
             b_r = right.columns[ne[1]]
             # a <> b is TRUE only where both sides are valid: restrict the
             # key-match count to valid-b rows, subtract the equal-pair count
-            rk_masked = [c.mask_invalid(b_r.valid) for c in right_keys]
-            counts_all = match_counts(rk_masked, left_keys)
-            counts_eq = match_counts(rk_masked + [b_r], left_keys + [a_l])
+            counts_all = match_counts(right_keys, left_keys,
+                                      build_alive=b_r.valid)
+            counts_eq = match_counts(right_keys + [b_r], left_keys + [a_l],
+                                     build_alive=b_r.valid)
             return _ne_mark_jit(counts_all, counts_eq, a_l.valid)
         # general residual: expand pairs, filter, scatter
         l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
@@ -498,9 +499,7 @@ class Executor:
             # raw counts: the >0 tests fold into _semi_keep_corr_jit
             nonempty = match_counts(corr_r, corr_l)
             null_rows = jnp.logical_not(right_keys[0].valid)
-            has_null = match_counts(
-                [c.mask_invalid(null_rows) for c in corr_r], corr_l
-            )
+            has_null = match_counts(corr_r, corr_l, build_alive=null_rows)
             return nonempty, has_null
         if corr_l:
             gl, gr = equi_join_pairs(corr_l, corr_r)
@@ -538,17 +537,15 @@ class Executor:
             right, r_alive = self.execute(op.children[1]), None
         left_keys = execute_exprs_fused([l for l, _ in op.on], left)
         right_keys = execute_exprs_fused([r for _, r in op.on], right)
-        if l_alive is not None:
-            left_keys = [c.mask_invalid(l_alive) for c in left_keys]
-        if r_alive is not None:
-            right_keys = [c.mask_invalid(r_alive) for c in right_keys]
         from sqlrs_tpu.ops.join import (
             expand_gather_pairs,
             expand_pairs,
             pair_ranges,
         )
 
-        pr = pair_ranges(left_keys, right_keys)
+        # fused-Filter alive masks AND into key validity INSIDE phase A
+        # (an eager mask_invalid per key column cost a dispatch each)
+        pr = pair_ranges(left_keys, right_keys, l_alive, r_alive)
         total = pr[3] if pr is not None else 0
         if op.join_type == "inner" and op.filter is None and total > 0:
             # non-residual inner join: pair expansion + output gather in ONE

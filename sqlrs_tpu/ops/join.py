@@ -38,12 +38,14 @@ from sqlrs_tpu.data import Column
 from sqlrs_tpu.ops.sort import orderable_key
 
 @partial(jax.jit, static_argnames=("num_keys",))
-def _pairs_phase_a(l_ops, r_ops, num_keys: int):
+def _pairs_phase_a(l_ops, r_ops, num_keys: int, l_alive=None, r_alive=None):
     """l_ops/r_ops: per key column (valid, encoded key) per side. The sides
     are concatenated INSIDE the program (eager concats cost a dispatch each
     over remote-TPU relays). Returns per-probe-row (starts, counts) into the
     build side sorted by key id, plus the stably sorted build row order and
-    the total pair count.
+    the total pair count. Optional l_alive/r_alive row masks (fused Filter
+    children) AND into every key's validity here instead of costing an
+    eager dispatch per key column.
 
     Pure streaming formulation: ONE combined sort with the row position as
     the final key (so within each key run, build rows precede probe rows, in
@@ -56,8 +58,13 @@ def _pairs_phase_a(l_ops, r_ops, num_keys: int):
     n = nl + nr
     ops: list = []
     for i in range(0, num_keys, 2):
+        lv, rv = l_ops[i], r_ops[i]
+        if l_alive is not None:
+            lv = jnp.logical_and(lv, l_alive)
+        if r_alive is not None:
+            rv = jnp.logical_and(rv, r_alive)
         valid = jnp.concatenate(
-            [l_ops[i].astype(jnp.int32), r_ops[i].astype(jnp.int32)]
+            [lv.astype(jnp.int32), rv.astype(jnp.int32)]
         )
         key = jnp.concatenate([l_ops[i + 1], r_ops[i + 1]])
         ops.append(valid)
@@ -152,10 +159,12 @@ def expand_gather_pairs(pr, left_cols, right_cols):
     )
 
 
-def match_counts(build_keys: list[Column], probe_keys: list[Column]):
+def match_counts(build_keys: list[Column], probe_keys: list[Column],
+                 build_alive=None):
     """Per-probe-row count of matching build rows — the mark-join primitive
     (semi/anti/EXISTS) — with NO pair expansion and NO host sync: just
-    _pairs_phase_a's merged sort. NULL keys on either side never match.
+    _pairs_phase_a's merged sort. NULL keys on either side never match;
+    build_alive optionally masks build rows in-program.
 
     Replaces pair expansion + scatter for semi/anti joins (reference
     hash_join.rs:207-250 emits pairs row-at-a-time; a 6M-row TPC-H Q21
@@ -172,17 +181,19 @@ def match_counts(build_keys: list[Column], probe_keys: list[Column]):
         l_ops += [lv, lk]
         r_ops += [rv, rk.astype(lk.dtype)]
     _, counts, _, _ = _pairs_phase_a(
-        tuple(l_ops), tuple(r_ops), len(l_ops)
+        tuple(l_ops), tuple(r_ops), len(l_ops), build_alive, None
     )
     return counts
 
 
-def pair_ranges(left_keys: list[Column], right_keys: list[Column]):
+def pair_ranges(left_keys: list[Column], right_keys: list[Column],
+                l_alive=None, r_alive=None):
     """Phase A of pair emission: per-probe-row match ranges.
     Returns (starts, counts, order, total) — total is a host int (the single
     pipeline-breaker sync) — or None when either side is empty. Callers that
     schedule their own expansion (bounded-memory chunked residual filtering,
-    exec/executor._residual_pairs_chunked) start here."""
+    exec/executor._residual_pairs_chunked) start here. l_alive/r_alive are
+    optional fused-Filter row masks ANDed into key validity in-program."""
     nl = len(left_keys[0])
     nr = len(right_keys[0])
     if nl == 0 or nr == 0:
@@ -196,7 +207,7 @@ def pair_ranges(left_keys: list[Column], right_keys: list[Column]):
         r_ops += [rv, rk.astype(lk.dtype)]
     num_keys = len(l_ops)
     starts, counts, order, total = _pairs_phase_a(
-        tuple(l_ops), tuple(r_ops), num_keys
+        tuple(l_ops), tuple(r_ops), num_keys, l_alive, r_alive
     )
     return starts, counts, order, int(total)
 
