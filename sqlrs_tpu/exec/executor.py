@@ -220,12 +220,14 @@ class Executor:
         return self._aggregate(op, op.groups, op.aggregates, src, alive)
 
     def _filter_fused_side(self, child_op):
-        """(batch, alive_mask) for a join side, folding one Filter level."""
+        """(batch, alive) for a join side, folding one Filter level. alive
+        is the raw (keep_data, keep_valid) pair — the AND happens inside
+        the consuming program (an eager logical_and cost a dispatch)."""
         if isinstance(child_op, P.PhysicalFilter):
             src = self.execute(child_op.children[0])
             if src.num_rows > 0:
                 (keep,) = execute_exprs_fused([child_op.predicate], src)
-                return src, jnp.logical_and(keep.data, keep.valid)
+                return src, (keep.data, keep.valid)
         return self.execute(child_op), None
 
     @staticmethod
@@ -241,7 +243,10 @@ class Executor:
     def _fusable_filter_input(self, op):
         """Filter directly under an aggregate fuses as an alive-mask: the
         aggregate excludes masked rows itself, skipping the compaction
-        (permutation sort + per-column gathers) entirely."""
+        (permutation sort + per-column gathers) entirely. The mask is the
+        raw (keep_data, keep_valid) pair; the AND happens inside the
+        consuming program (ops/grouped_agg._agg_phase1 /
+        _reduce_ungrouped_fused)."""
         child_op = op.children[0]
         if (
             isinstance(child_op, P.PhysicalFilter)
@@ -250,7 +255,7 @@ class Executor:
             src = self.execute(child_op.children[0])
             if src.num_rows > 0:
                 (keep,) = execute_exprs_fused([child_op.predicate], src)
-                return src, jnp.logical_and(keep.data, keep.valid)
+                return src, (keep.data, keep.valid)
         return self.execute(child_op), None
 
     def _aggregate(self, op, groups, aggs, child, alive=None) -> DeviceBatch:
@@ -1043,6 +1048,8 @@ def _reduce_ungrouped_fused(aggs, slots, arg_cols, n: int, alive=None):
         out_types: list = []
 
         def prog(datas, valids, alive_arr):
+            if isinstance(alive_arr, tuple):  # raw (keep_data, keep_valid)
+                alive_arr = jnp.logical_and(alive_arr[0], alive_arr[1])
             cols = [
                 Column(t, d, v) for t, d, v in zip(types, datas, valids)
             ]
@@ -1076,6 +1083,8 @@ def _reduce_ungrouped_fused(aggs, slots, arg_cols, n: int, alive=None):
 
 
 def _reduce_ungrouped_eager(aggs, slots, arg_cols, n: int, alive=None):
+    if isinstance(alive, tuple):  # raw (keep_data, keep_valid) pair
+        alive = jnp.logical_and(alive[0], alive[1])
     return [
         _reduce_one_ungrouped(
             a, arg_cols[s] if s is not None else None, n, alive

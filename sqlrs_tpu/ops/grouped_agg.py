@@ -263,6 +263,8 @@ def _agg_phase1(
 
     n = kdatas[0].shape[0] if kdatas else sdatas[0].shape[0]
     has_alive = alive is not None
+    if isinstance(alive, tuple):  # raw (keep_data, keep_valid) pair
+        alive = jnp.logical_and(alive[0], alive[1])
     sort_keys: list = []
     if has_alive:
         sort_keys.append(jnp.logical_not(alive).astype(jnp.int32))

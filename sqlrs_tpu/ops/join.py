@@ -57,12 +57,16 @@ def _pairs_phase_a(l_ops, r_ops, num_keys: int, l_alive=None, r_alive=None):
     nr = r_ops[0].shape[0]
     n = nl + nr
     ops: list = []
+    def _and_alive(v, alive):
+        if alive is None:
+            return v
+        if isinstance(alive, tuple):  # raw (keep_data, keep_valid) pair
+            return jnp.logical_and(v, jnp.logical_and(alive[0], alive[1]))
+        return jnp.logical_and(v, alive)
+
     for i in range(0, num_keys, 2):
-        lv, rv = l_ops[i], r_ops[i]
-        if l_alive is not None:
-            lv = jnp.logical_and(lv, l_alive)
-        if r_alive is not None:
-            rv = jnp.logical_and(rv, r_alive)
+        lv = _and_alive(l_ops[i], l_alive)
+        rv = _and_alive(r_ops[i], r_alive)
         valid = jnp.concatenate(
             [lv.astype(jnp.int32), rv.astype(jnp.int32)]
         )
