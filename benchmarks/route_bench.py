@@ -30,6 +30,15 @@ def main(argv=None) -> None:
     ap.add_argument("--repeat", type=int, default=3)
     args = ap.parse_args(argv)
 
+    # honor JAX_PLATFORMS before first jax use — the env var alone does not
+    # move a process off the axon relay backend (CLAUDE.md)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import sqlrs_tpu
     from sqlrs_tpu.data import DeviceBatch, Schema
     from sqlrs_tpu.data.batch import Column

@@ -32,6 +32,15 @@ def main(argv=None) -> None:
     p.add_argument("--groups", type=int, default=1 << 16)
     args = p.parse_args(argv)
 
+    # honor JAX_PLATFORMS before first jax use — the env var alone does not
+    # move a process off the axon relay backend (CLAUDE.md)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax
     import jax.numpy as jnp
 

@@ -104,6 +104,15 @@ def main(argv=None) -> None:
     ap.add_argument("--devices", type=str, default="1,2,4,8")
     args = ap.parse_args(argv)
 
+    # honor JAX_PLATFORMS before first jax use — the env var alone does not
+    # move a process off the axon relay backend (CLAUDE.md)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import sqlrs_tpu  # noqa: F401  (x64 + backend init)
 
     devs = [int(x) for x in args.devices.split(",")]
