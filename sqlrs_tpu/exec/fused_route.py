@@ -21,9 +21,12 @@ exceeds scatter bandwidth (12-40M elem/s), so recomputing the aggregate
 from a packed sort beats materializing pairs.
 
 Eligibility is checked statically from the plan (single int equi-key, no
-residual, no distinct, ≤1 distinct aggregate value column) and dynamically
-from two tiny device programs (dim keys unique + spans + value range +
-validity). Ineligible plans fall back to the general executors — the route
+residual, no distinct, any number of distinct aggregate value expressions
+on one side — at most one of them under min/max) and dynamically from two
+tiny device programs (dim keys unique + spans + value range + validity).
+Beyond the first (packed) value expression, values ride the variadic sort
+as payloads: negatives are fine there, and each costs only one extra
+(Q,128) payload-row gather. Ineligible plans fall back to the general executors — the route
 is a pure optimization, bit-exact where it applies (tests/test_fused_route.py
 differential-checks it against the unfused path).
 """
@@ -59,13 +62,19 @@ def _fact_stats(keys, kvalid, vals, vvalid):
     return kmin, kmax, vmin, vmax, jnp.all(vvalid)
 
 
+@jax.jit
+def _cols_all_valid(valids):
+    """True iff every column in the tuple is fully valid — one program."""
+    return jnp.all(jnp.stack(valids))
+
+
 @partial(
     jax.jit,
     static_argnames=("n_groups", "val_bits", "pack32", "dense", "with_minmax"),
 )
 def _routed_kernel(fkeys, fvalid, fvals, dim_sorted, miss_key,
                    n_groups: int, val_bits: int, pack32: bool, dense: bool,
-                   with_minmax: bool):
+                   with_minmax: bool, extra_vals=()):
     """Masked fact rows -> out-of-span key, then the direct kernel.
 
     dim_sorted is already sorted so dim_perm is the identity and the output
@@ -77,7 +86,7 @@ def _routed_kernel(fkeys, fvalid, fvals, dim_sorted, miss_key,
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_direct(
         fk, fv, dim_sorted.astype(jnp.int64), perm, n_groups, val_bits, pack32,
-        dense=dense, with_minmax=with_minmax,
+        dense=dense, with_minmax=with_minmax, extra_vals=extra_vals,
     )
 
 
@@ -194,24 +203,27 @@ def _try_route(executor, op, agg, ordered: bool):
     for g in agg.groups[1:]:
         extra_groups.append(_resolve_side(_map(g.index), lw))
 
-    # aggregates: sum/count/min/max/avg over ONE value expression whose
-    # column references all live on the side opposite the (unique-key) dim
-    # side, plus count(*). A non-reference expression (sum(a*b), …) is
-    # evaluated over the fact batch with the fused expression executor
-    # before the kernel.
+    # aggregates: sum/count/min/max/avg over ANY number of distinct value
+    # expressions whose column references all live on the side opposite the
+    # (unique-key) dim side, plus count(*). Non-reference expressions
+    # (sum(a*b), …) are evaluated over the fact batch with the fused
+    # expression executor before the kernel. One expression may be PACKED
+    # into the sort key (enabling min/max + a free prefix sum); every other
+    # expression rides the variadic sort as a payload — nearly free
+    # (measured flat in operand count) and tolerant of negative values.
     from sqlrs_tpu.binder.expression import visit_expr
 
     val_side = None
-    val_expr = None
-    val_key = None
-    specs: list[tuple[str, bool]] = []  # (kind, uses_value)
+    val_exprs: list = []       # distinct value expressions, by repr
+    val_keys: list[str] = []
+    specs: list[tuple[str, int | None]] = []  # (kind, val_exprs index)
     for a in agg.aggregates:
         if not isinstance(a, BoundAggregate) or a.distinct:
             return None
         if a.arg is None:
             if a.function_name != "count":
                 return None
-            specs.append(("count_star", False))
+            specs.append(("count_star", None))
             continue
         if a.function_name not in ("sum", "count", "min", "max", "avg"):
             return None
@@ -237,12 +249,23 @@ def _try_route(executor, op, agg, ordered: bool):
         if len(ref_sides) != 1:
             return None
         side = ref_sides.pop()
+        if val_side is None:
+            val_side = side
+        elif side != val_side:
+            return None  # value expressions split across both join sides
         key = repr(a.arg)
-        if val_key is None:
-            val_side, val_expr, val_key = side, a.arg, key
-        elif key != val_key:
-            return None  # more than one distinct value expression
-        specs.append((a.function_name, True))
+        if key in val_keys:
+            ix = val_keys.index(key)
+        else:
+            ix = len(val_keys)
+            val_keys.append(key)
+            val_exprs.append(a.arg)
+        specs.append((a.function_name, ix))
+    # min/max need their value packed into the sort key; only one
+    # expression can be packed
+    minmax_ixs = {ix for k, ix in specs if k in ("min", "max")}
+    if len(minmax_ixs) > 1:
+        return None
 
     # ---- execute children (normal recursion; scans/filters run as usual) --
     # stash the batches in the executor's one-shot cache so a later bail
@@ -277,13 +300,18 @@ def _try_route(executor, op, agg, ordered: bool):
 
     dim_key_col = dim_b.columns[rkey.index if dim_side == "right" else lkey.index]
     fact_key_col = fact_b.columns[lkey.index if fact_side == "left" else rkey.index]
-    if val_expr is None:
-        val_col = None
-    elif isinstance(val_expr, BoundReference):
-        val_col = fact_b.columns[_resolve_side(_map(val_expr.index), lw)[1]]
-    else:
-        # evaluate the value expression over the fact batch (refs rewritten
-        # from join-output to fact-batch indices): ONE fused program
+    # materialize every distinct value expression over the fact batch:
+    # direct column refs are free; everything else runs in ONE fused program
+    val_cols: list = [None] * len(val_exprs)
+    to_eval, eval_ixs = [], []
+    for k, e in enumerate(val_exprs):
+        if isinstance(e, BoundReference):
+            val_cols[k] = fact_b.columns[_resolve_side(_map(e.index), lw)[1]]
+        else:
+            to_eval.append(e)
+            eval_ixs.append(k)
+    if to_eval:
+        # refs rewritten from join-output to fact-batch indices
         import dataclasses
 
         from sqlrs_tpu.binder.expression import rewrite_expr
@@ -296,7 +324,11 @@ def _try_route(executor, op, agg, ordered: bool):
                 )
             return None
 
-        (val_col,) = execute_exprs_fused([rewrite_expr(val_expr, _rw)], fact_b)
+        outs = execute_exprs_fused(
+            [rewrite_expr(e, _rw) for e in to_eval], fact_b
+        )
+        for k, c in zip(eval_ixs, outs):
+            val_cols[k] = c
 
     # ---- dynamic checks (two tiny programs + scalar fetches) -------------
     dim_sorted, d_all_valid, d_unique, d_min, d_max = _dim_stats(
@@ -305,53 +337,89 @@ def _try_route(executor, op, agg, ordered: bool):
     if not bool(d_all_valid) or not bool(d_unique):
         return None
     d_min, d_max = int(d_min), int(d_max)
-    need_vals = any(k in ("sum", "avg", "min", "max") for k, _ in specs)
-    with_minmax = any(k in ("min", "max") for k, _ in specs)
-    vc = val_col if val_col is not None else fact_key_col
+    with_minmax = bool(minmax_ixs)
+    # the packed expression (ordered only): the min/max one if any (min/max
+    # REQUIRE value packing — range endpoints), else the first expression
+    # (its prefix sum comes free with the rank rows)
+    packed_ix = None
+    if ordered and val_exprs:
+        packed_ix = next(iter(minmax_ixs)) if minmax_ixs else 0
+    cand = val_cols[packed_ix] if packed_ix is not None else None
+    vc = cand if cand is not None else fact_key_col
     f_kmin, f_kmax, v_min, v_max, v_all_valid = _fact_stats(
         fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
         vc.data.astype(jnp.int64), vc.valid,
     )
-    if val_col is not None and not bool(v_all_valid):
+    if val_cols:
         # NULL values would need a per-group valid-count (count(v)) or an
-        # all-NULL-group NULL result (sum/min/max) the single pass lacks
-        return None
+        # all-NULL-group NULL result (sum/min/max) the single pass lacks;
+        # ALL value columns checked in one fused program
+        allv = (
+            v_all_valid if (len(val_cols) == 1 and cand is not None)
+            else _cols_all_valid(tuple(c.valid for c in val_cols))
+        )
+        if not bool(allv):
+            return None
     f_kmax = max(int(f_kmax), d_max)
     f_kmin = min(int(f_kmin), d_min)
     miss_key = f_kmax + 1  # out of every dim range, incl. the last boundary
     dense = (d_max - d_min + 1) == n_groups
-    vals = (val_col.data if (val_col is not None and need_vals)
-            else jnp.zeros((n_fact,), jnp.int64))
 
     if ordered:
-        if need_vals:
+        if packed_ix is not None:
+            # packing wants 0 <= value and key headroom; when it fails and
+            # no min/max needs it, demote the expression to a payload
             v_min, v_max = int(v_min), int(v_max)
-            if v_min < 0:
-                return None  # negative values break the monotone packing
+            packable = v_min >= 0
+            val_bits = max(int(v_max).bit_length(), 1) if packable else 1
+            if packable and (
+                miss_key >= (1 << (62 - val_bits))
+                or f_kmin <= -(1 << (62 - val_bits))
+            ):
+                packable = False
+                val_bits = 1
+            if not packable:
+                if with_minmax:
+                    return None  # min/max cannot ride a payload
+                packed_ix = None
         else:
-            v_min, v_max = 0, 1  # counts only: values carried as zeros
-        val_bits = max(int(v_max).bit_length(), 1)
+            val_bits = 1  # counts only / payloads only: packed zeros
         if miss_key >= (1 << (62 - val_bits)) or f_kmin <= -(1 << (62 - val_bits)):
             return None  # packing headroom exhausted
         pack32 = (
             miss_key < (1 << (31 - val_bits)) - 1
             and f_kmin > -(1 << (31 - val_bits))
         )
+        extra_ixs = [k for k in range(len(val_cols)) if k != packed_ix]
+        vals = (val_cols[packed_ix].data if packed_ix is not None
+                else jnp.zeros((n_fact,), jnp.int64))
         out = _routed_kernel(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
             vals, dim_sorted, jnp.int64(miss_key),
             n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
             dense=dense, with_minmax=with_minmax,
+            extra_vals=tuple(val_cols[k].data for k in extra_ixs),
         )
+        # kernel layout: sums_packed, counts, [mins, maxs,] extra sums…
+        kb = 4 if with_minmax else 2
+        expr_src = {k: kb + j for j, k in enumerate(extra_ixs)}
+        if packed_ix is not None:
+            expr_src[packed_ix] = 0
     else:
         rid_bits = max(n_fact.bit_length(), 1)
         if miss_key >= (1 << (62 - rid_bits)) or f_kmin <= -(1 << (62 - rid_bits)):
             return None
+        payloads = (
+            tuple(c.data for c in val_cols)
+            if val_cols else (jnp.zeros((n_fact,), jnp.int64),)
+        )
         out = _routed_kernel_firstapp(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
-            vals, dim_sorted, jnp.int64(miss_key),
+            payloads, dim_sorted, jnp.int64(miss_key),
             n_groups=n_groups, rid_bits=rid_bits, dense=dense,
         )
+        # kernel layout: sums_0, counts, firsts, sums_1…
+        expr_src = {k: (0 if k == 0 else k + 2) for k in range(len(val_cols))}
 
     # extra dim group columns and (for first-appearance ordering with the
     # dim on the probe side) original dim positions ride the compaction as
@@ -375,9 +443,10 @@ def _try_route(executor, op, agg, ordered: bool):
         pos_idx = base_len + len(extras_flat)
         extras_flat.append(sperm.astype(jnp.int64))
     keys_c, arrays_c, n_alive = _compact_nonempty(
-        dim_sorted, out + tuple(extras_flat)
+        dim_sorted, tuple(out) + tuple(extras_flat)
     )
-    sums_c, counts_c = arrays_c[0], arrays_c[1]
+    counts_c = arrays_c[1]
+    expr_sums = {ix: arrays_c[ai] for ix, ai in expr_src.items()}
     extra_cols_c = [
         (arrays_c[base_len + 2 * i], arrays_c[base_len + 2 * i + 1])
         for i in range(len(extra_groups))
@@ -394,8 +463,10 @@ def _try_route(executor, op, agg, ordered: bool):
         order_src = arrays_c[2] if fact_side == "right" else arrays_c[pos_idx]
         order = jnp.argsort(order_src[:n_live])
         keys_c = keys_c[:n_live][order]
-        sums_c = sums_c[:n_live][order]
         counts_c = counts_c[:n_live][order]
+        expr_sums = {
+            ix: a[:n_live][order] for ix, a in expr_sums.items()
+        }
         extra_cols_c = [
             (d[:n_live][order], v[:n_live][order]) for d, v in extra_cols_c
         ]
@@ -413,15 +484,17 @@ def _try_route(executor, op, agg, ordered: bool):
     for (_, idx), (d, v) in zip(extra_groups, extra_cols_c):
         ct = dim_b.columns[idx].type
         cols.append(Column(ct, d[:n_out], v[:n_out]))
-    for (kind, _), a in zip(specs, agg.aggregates):
+    for (kind, ix), a in zip(specs, agg.aggregates):
         if kind == "sum":
-            src = sums_c
+            src = expr_sums[ix]
         elif kind == "min":
             src = mins_c
         elif kind == "max":
             src = maxs_c
         elif kind == "avg":
-            src = sums_c.astype(jnp.float64) / counts_c.astype(jnp.float64)
+            src = expr_sums[ix].astype(jnp.float64) / counts_c.astype(
+                jnp.float64
+            )
         else:  # count / count_star
             src = counts_c
         rt = a.return_type()

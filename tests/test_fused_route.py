@@ -211,12 +211,97 @@ def test_route_value_expression():
         routed, plain, fired = _both_ways(db, sql)
         assert fired, sql
         assert routed == plain, sql
-    # two DIFFERENT value expressions: ineligible, falls back correctly
+    # two DIFFERENT value expressions: the second rides the variadic sort
+    # as a payload (one fused-eval program for both)
     sql = ("select d.k, sum(f.v + f.v), avg(f.v * 3) from f join d "
            "on f.k = d.k group by d.k")
     routed, plain, fired = _both_ways(db, sql)
+    assert fired
+    assert routed == plain
+
+
+def test_route_multi_value_columns():
+    """Several distinct value expressions in one rollup: one is packed
+    (carrying min/max when asked), the rest ride as sort payloads — both
+    the ordered and first-appearance variants, negatives included."""
+    rng = np.random.default_rng(21)
+    dim = (np.arange(32) * 3 + 4).astype(np.int64)
+    n = 4000
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid].copy()
+    fk[::13] = 10_000_019  # misses
+    fa = rng.integers(0, 500, n).astype(np.int64)
+    fb = rng.integers(-80, 80, n).astype(np.int64)  # negatives: payload-only
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("a", LT.BIGINT), ("b", LT.BIGINT)]),
+            {"k": fk.tolist(), "a": fa.tolist(), "b": fb.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    cases = [
+        # ordered: a packed (min/max), b as payload (negatives)
+        ("select d.k, sum(f.a), min(f.a), max(f.a), sum(f.b), avg(f.b), "
+         "count(*) from f join d on f.k = d.k group by d.k order by d.k",
+         "order_agg_join_direct"),
+        # ordered, no min/max, negative-valued first expr: everything rides
+        # as payloads (packing demoted), previously ineligible
+        ("select d.k, sum(f.b), sum(f.a), count(*) from f join d "
+         "on f.k = d.k group by d.k order by d.k",
+         "order_agg_join_direct"),
+        # first-appearance: all payloads
+        ("select d.k, sum(f.a), sum(f.b), avg(f.a), count(f.b) "
+         "from f join d on f.k = d.k group by d.k",
+         "agg_join_firstapp"),
+        # expression + column payloads mixed
+        ("select d.k, sum(f.a * 2 + f.b), sum(f.b), min(f.a) from f join d "
+         "on f.k = d.k group by d.k order by d.k",
+         "order_agg_join_direct"),
+    ]
+    for sql, expect in cases:
+        routed, plain, fired = _both_ways(db, sql)
+        assert any(expect in r for r in fired), (sql, fired)
+        assert routed == plain, sql
+    # two different min/max value expressions cannot both pack: falls back
+    sql = ("select d.k, min(f.a), max(f.b) from f join d on f.k = d.k "
+           "group by d.k order by d.k")
+    routed, plain, fired = _both_ways(db, sql)
     assert not fired
     assert routed == plain
+
+
+def test_route_multi_value_oracle():
+    """Numpy oracle for the multi-payload ordered kernel."""
+    rng = np.random.default_rng(22)
+    dim = np.arange(20, dtype=np.int64) + 3  # dense span
+    n = 2048
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid]
+    fa = rng.integers(0, 90, n).astype(np.int64)
+    fb = rng.integers(-40, 40, n).astype(np.int64)
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("a", LT.BIGINT), ("b", LT.BIGINT)]),
+            {"k": fk.tolist(), "a": fa.tolist(), "b": fb.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    db.last_fused_routes = []
+    got = db.run_lines(
+        "select d.k, sum(f.a), sum(f.b), count(*) from f join d "
+        "on f.k = d.k group by d.k order by d.k")
+    assert db.last_fused_routes
+    sa = np.zeros(len(dim), np.int64)
+    sb = np.zeros(len(dim), np.int64)
+    cnt = np.zeros(len(dim), np.int64)
+    np.add.at(sa, gid, fa)
+    np.add.at(sb, gid, fb)
+    np.add.at(cnt, gid, 1)
+    exp = [f"{k} {x} {y} {c}"
+           for k, x, y, c in zip(dim, sa, sb, cnt) if c > 0]
+    assert got == exp
 
 
 def test_desc_order_routes_via_firstapp():
@@ -240,8 +325,8 @@ def test_ineligible_shapes_fall_back():
         # residual filter on the join
         "select d.k, sum(f.v) from f join d on f.k=d.k and f.v > 10 "
         "group by d.k order by d.k",
-        # two distinct value columns
-        "select d.k, sum(f.v), sum(f.k) from f join d on f.k=d.k "
+        # DISTINCT aggregate
+        "select d.k, count(distinct f.v) from f join d on f.k=d.k "
         "group by d.k order by d.k",
     ]
     for sql in cases:
