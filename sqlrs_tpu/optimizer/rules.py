@@ -197,6 +197,45 @@ class PushPredicateThroughJoin(Rule):
         return _filter_over(left_f + common, new_join)
 
 
+class PushJoinResidualIntoChildren(Rule):
+    """Inner join whose residual (ON-clause non-equi) filter has single-side
+    conjuncts: push them into the children as Filters. An inner join emits a
+    pair iff the residual is TRUE, so pre-filtering a side by its own
+    conjuncts is exactly equivalent (Kleene included — a NULL conjunct drops
+    the pair either way), shrinks pair expansion, and leaves downstream
+    consumers (the fused star-rollup route, the distributed join planner) a
+    residual-free join. Inner only: outer joins must preserve unmatched
+    rows, and null-aware anti joins define their correlated groups through
+    the residual (executor._correlated_group_info). No reference analogue —
+    the reference evaluates ON residuals row-at-a-time post-probe
+    (hash_join.rs:47-127)."""
+
+    name = "PushJoinResidualIntoChildren"
+    pattern = Pattern(_is(LogicalJoin))
+
+    def apply(self, node):
+        join: LogicalJoin = node
+        if join.join_type != "inner" or join.filter is None:
+            return None
+        left, right = join.children
+        left_b = set(left.output_bindings())
+        right_b = set(right.output_bindings())
+        conjuncts = split_conjuncts(join.filter)
+        left_f = [c for c in conjuncts if referenced_bindings([c]) <= left_b]
+        rest = [c for c in conjuncts if c not in left_f]
+        right_f = [c for c in rest if referenced_bindings([c]) <= right_b]
+        keep = [c for c in rest if c not in right_f]
+        if not left_f and not right_f:
+            return None
+        return LogicalJoin(
+            children=[_filter_over(left_f, left), _filter_over(right_f, right)],
+            join_type=join.join_type,
+            on=join.on,
+            filter=combine_conjuncts(keep),
+            null_aware=join.null_aware,
+        )
+
+
 def factor_or_common(conjuncts: list[BoundExpr]) -> list[BoundExpr]:
     """OR_i(A ∧ C_i) → A ∧ OR_i(C_i) for conjuncts A common to every
     disjunct (∧ distributes over ∨ in Kleene logic, so NULL semantics are
@@ -656,6 +695,7 @@ def default_rule_batches():
                 PushPredicateThroughNonJoin(),
                 PushPredicateThroughJoin(),
                 PushPredicateThroughCrossJoin(),
+                PushJoinResidualIntoChildren(),
             ],
         ),
         HepBatch(

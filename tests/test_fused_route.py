@@ -316,14 +316,30 @@ def test_desc_order_routes_via_firstapp():
     assert routed == plain
 
 
+def test_single_side_on_residual_is_pushed_and_routes():
+    """PushJoinResidualIntoChildren turns `on f.k=d.k and f.v > 10` into a
+    residual-free join over a filtered fact scan — which then routes."""
+    db = _mk_db(1500, np.arange(16) + 1, seed=4)
+    sql = ("select d.k, sum(f.v), count(*) from f join d "
+           "on f.k=d.k and f.v > 10 group by d.k order by d.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert fired, "pushed residual should leave a routable join"
+    assert routed == plain
+    # oracle: plain general path with an explicit WHERE is identical
+    where = db.run_lines(
+        "select d.k, sum(f.v), count(*) from f join d on f.k=d.k "
+        "where f.v > 10 group by d.k order by d.k")
+    assert routed == where
+
+
 def test_ineligible_shapes_fall_back():
     db = _mk_db(1000, np.arange(16) + 1, seed=4)
     cases = [
         # left join
         "select d.k, sum(f.v) from d left join f on f.k=d.k "
         "group by d.k order by d.k",
-        # residual filter on the join
-        "select d.k, sum(f.v) from f join d on f.k=d.k and f.v > 10 "
+        # CROSS-side residual filter on the join (not pushable)
+        "select d.k, sum(f.v) from f join d on f.k=d.k and f.v > d.k "
         "group by d.k order by d.k",
         # DISTINCT aggregate
         "select d.k, count(distinct f.v) from f join d on f.k=d.k "

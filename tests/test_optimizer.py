@@ -426,3 +426,30 @@ class TestReferenceCombineOperatorsGolden:
         name = filters[0].predicate.name()
         assert "b > 7" in name and "a > 1" in name and "c < 2" in name
         assert isinstance(filters[0].children[0], L.LogicalGet)
+
+
+class TestPushJoinResidualIntoChildren:
+    def test_single_side_on_conjuncts_become_child_filters(self, db):
+        p = plan_for(db, "select t1.a from t1 join t2 "
+                         "on t1.a = t2.a and t1.b > 3 and t2.c < 9")
+        (join,) = find_ops(p, L.LogicalJoin)
+        assert join.filter is None
+        sides = [c for c in join.children]
+        # each pushed conjunct lands on (or below) its own side
+        names = [f.predicate.name() for s in sides
+                 for f in find_ops(s, L.LogicalFilter)]
+        assert any("b > 3" in n for n in names)
+        assert any("c < 9" in n for n in names)
+
+    def test_cross_side_residual_is_kept(self, db):
+        p = plan_for(db, "select t1.a from t1 join t2 "
+                         "on t1.a = t2.a and t1.b > t2.b and t1.c = 1")
+        (join,) = find_ops(p, L.LogicalJoin)
+        assert join.filter is not None          # t1.b > t2.b stays
+        assert "c = 1" not in join.filter.name()  # t1.c = 1 pushed
+
+    def test_left_join_residual_untouched(self, db):
+        p = plan_for(db, "select t1.a from t1 left join t2 "
+                         "on t1.a = t2.a and t2.b > 3")
+        (join,) = find_ops(p, L.LogicalJoin)
+        assert join.filter is not None
