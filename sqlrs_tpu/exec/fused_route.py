@@ -26,7 +26,10 @@ on one side — at most one of them under min/max) and dynamically from two
 tiny device programs (dim keys unique + spans + value range + validity).
 Beyond the first (packed) value expression, values ride the variadic sort
 as payloads: negatives are fine there, and each costs only one extra
-(Q,128) payload-row gather. Ineligible plans fall back to the general executors — the route
+(Q,128) payload-row gather. NULL-able value columns sum as masked zeros
+plus a validity payload carrying the per-group non-NULL count (count(v),
+avg denominators, all-NULL-group NULL sums); only min/max require a fully
+valid column (range endpoints cannot skip masked entries). Ineligible plans fall back to the general executors — the route
 is a pure optimization, bit-exact where it applies (tests/test_fused_route.py
 differential-checks it against the unfused path).
 """
@@ -37,6 +40,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from sqlrs_tpu.binder.expression import BoundAggregate, BoundReference
 from sqlrs_tpu.data.batch import Column, DeviceBatch
@@ -63,43 +67,60 @@ def _fact_stats(keys, kvalid, vals, vvalid):
 
 
 @jax.jit
-def _cols_all_valid(valids):
-    """True iff every column in the tuple is fully valid — one program."""
-    return jnp.all(jnp.stack(valids))
+def _cols_valid_flags(valids):
+    """Per-column all-valid flags for a tuple of validity masks — ONE
+    program, one host fetch."""
+    return jnp.stack([jnp.all(v) for v in valids])
+
+
+def _mask_payloads(pairs):
+    """(data, valid|None) pairs -> int64 payload arrays, NULLs as 0 (adds
+    nothing to the payload sums; their count rides a validity payload)."""
+    return tuple(
+        jnp.where(v, d.astype(jnp.int64), 0) if v is not None
+        else d.astype(jnp.int64)
+        for d, v in pairs
+    )
 
 
 @partial(
     jax.jit,
     static_argnames=("n_groups", "val_bits", "pack32", "dense", "with_minmax"),
 )
-def _routed_kernel(fkeys, fvalid, fvals, dim_sorted, miss_key,
+def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
                    n_groups: int, val_bits: int, pack32: bool, dense: bool,
-                   with_minmax: bool, extra_vals=()):
+                   with_minmax: bool, extra_pairs=()):
     """Masked fact rows -> out-of-span key, then the direct kernel.
 
     dim_sorted is already sorted so dim_perm is the identity and the output
-    arrives in ORDER BY key ascending order directly."""
+    arrives in ORDER BY key ascending order directly. fvals_valid (when not
+    None) masks NULL packed values to 0 — sound for sums; min/max callers
+    require an all-valid packed column. extra_pairs are (data, valid|None)
+    payload columns, masked the same way."""
     from sqlrs_tpu.ops.pipelines import join_groupby_direct
 
     fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
     fv = fvals.astype(jnp.int64)
+    if fvals_valid is not None:
+        fv = jnp.where(fvals_valid, fv, 0)
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_direct(
         fk, fv, dim_sorted.astype(jnp.int64), perm, n_groups, val_bits, pack32,
-        dense=dense, with_minmax=with_minmax, extra_vals=extra_vals,
+        dense=dense, with_minmax=with_minmax,
+        extra_vals=_mask_payloads(extra_pairs),
     )
 
 
 @partial(jax.jit, static_argnames=("n_groups", "rid_bits", "dense"))
-def _routed_kernel_firstapp(fkeys, fvalid, fvals, dim_sorted, miss_key,
+def _routed_kernel_firstapp(fkeys, fvalid, pairs, dim_sorted, miss_key,
                             n_groups: int, rid_bits: int, dense: bool):
     from sqlrs_tpu.ops.pipelines import join_groupby_firstapp
 
     fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_firstapp(
-        fk, fvals, dim_sorted.astype(jnp.int64), perm, n_groups, rid_bits,
-        dense=dense,
+        fk, _mask_payloads(pairs), dim_sorted.astype(jnp.int64), perm,
+        n_groups, rid_bits, dense=dense,
     )
 
 
@@ -350,30 +371,38 @@ def _try_route(executor, op, agg, ordered: bool):
         fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
         vc.data.astype(jnp.int64), vc.valid,
     )
+    nullable: list[bool] = []
     if val_cols:
-        # NULL values would need a per-group valid-count (count(v)) or an
-        # all-NULL-group NULL result (sum/min/max) the single pass lacks;
-        # ALL value columns checked in one fused program
-        allv = (
-            v_all_valid if (len(val_cols) == 1 and cand is not None)
-            else _cols_all_valid(tuple(c.valid for c in val_cols))
+        # NULL-able value columns are handled with masked payloads (NULL
+        # sums as 0) plus one validity payload each for the per-group
+        # non-NULL count (count(v), avg denominator, all-NULL-group NULL
+        # sums). min/max alone need every value real: range endpoints of
+        # the packed sort cannot skip masked entries.
+        flags = _np.asarray(
+            _cols_valid_flags(tuple(c.valid for c in val_cols))
         )
-        if not bool(allv):
+        nullable = [not bool(f) for f in flags]
+        if minmax_ixs and nullable[next(iter(minmax_ixs))]:
             return None
     f_kmax = max(int(f_kmax), d_max)
     f_kmin = min(int(f_kmin), d_min)
     miss_key = f_kmax + 1  # out of every dim range, incl. the last boundary
     dense = (d_max - d_min + 1) == n_groups
 
+    # validity payloads: one per NULL-able expression (per-group non-NULL
+    # counts for count(v) / avg denominators / NULL-sum detection)
+    valid_ixs = [k for k in range(len(val_cols)) if nullable[k]]
     if ordered:
         if packed_ix is not None:
             # packing wants 0 <= value and key headroom; when it fails and
-            # no min/max needs it, demote the expression to a payload
+            # no min/max needs it, demote the expression to a payload.
+            # (v_min/v_max are over VALID rows; NULLs pack as masked 0.)
             v_min, v_max = int(v_min), int(v_max)
             packable = v_min >= 0
             val_bits = max(int(v_max).bit_length(), 1) if packable else 1
             if packable and (
-                miss_key >= (1 << (62 - val_bits))
+                val_bits >= 62
+                or miss_key >= (1 << (62 - val_bits))
                 or f_kmin <= -(1 << (62 - val_bits))
             ):
                 packable = False
@@ -393,33 +422,51 @@ def _try_route(executor, op, agg, ordered: bool):
         extra_ixs = [k for k in range(len(val_cols)) if k != packed_ix]
         vals = (val_cols[packed_ix].data if packed_ix is not None
                 else jnp.zeros((n_fact,), jnp.int64))
+        pvalid = (
+            val_cols[packed_ix].valid
+            if packed_ix is not None and nullable[packed_ix] else None
+        )
+        pairs = tuple(
+            (val_cols[k].data, val_cols[k].valid if nullable[k] else None)
+            for k in extra_ixs
+        ) + tuple(
+            (val_cols[k].valid.astype(jnp.int64), None) for k in valid_ixs
+        )
         out = _routed_kernel(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
-            vals, dim_sorted, jnp.int64(miss_key),
+            vals, pvalid, dim_sorted, jnp.int64(miss_key),
             n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
-            dense=dense, with_minmax=with_minmax,
-            extra_vals=tuple(val_cols[k].data for k in extra_ixs),
+            dense=dense, with_minmax=with_minmax, extra_pairs=pairs,
         )
-        # kernel layout: sums_packed, counts, [mins, maxs,] extra sums…
+        # kernel layout: sums_packed, counts, [mins, maxs,] extra sums…,
+        # validity counts…
         kb = 4 if with_minmax else 2
         expr_src = {k: kb + j for j, k in enumerate(extra_ixs)}
         if packed_ix is not None:
             expr_src[packed_ix] = 0
+        vbase = kb + len(extra_ixs)
+        expr_vcnt = {k: vbase + j for j, k in enumerate(valid_ixs)}
     else:
         rid_bits = max(n_fact.bit_length(), 1)
         if miss_key >= (1 << (62 - rid_bits)) or f_kmin <= -(1 << (62 - rid_bits)):
             return None
-        payloads = (
-            tuple(c.data for c in val_cols)
-            if val_cols else (jnp.zeros((n_fact,), jnp.int64),)
+        pairs = tuple(
+            (c.data, c.valid if nullable[k] else None)
+            for k, c in enumerate(val_cols)
+        ) + tuple(
+            (val_cols[k].valid.astype(jnp.int64), None) for k in valid_ixs
         )
+        if not pairs:
+            pairs = ((jnp.zeros((n_fact,), jnp.int64), None),)
         out = _routed_kernel_firstapp(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
-            payloads, dim_sorted, jnp.int64(miss_key),
+            pairs, dim_sorted, jnp.int64(miss_key),
             n_groups=n_groups, rid_bits=rid_bits, dense=dense,
         )
-        # kernel layout: sums_0, counts, firsts, sums_1…
+        # kernel layout: sums_0, counts, firsts, sums_1…, validity counts…
         expr_src = {k: (0 if k == 0 else k + 2) for k in range(len(val_cols))}
+        vbase = len(val_cols) + 2
+        expr_vcnt = {k: vbase + j for j, k in enumerate(valid_ixs)}
 
     # extra dim group columns and (for first-appearance ordering with the
     # dim on the probe side) original dim positions ride the compaction as
@@ -447,6 +494,7 @@ def _try_route(executor, op, agg, ordered: bool):
     )
     counts_c = arrays_c[1]
     expr_sums = {ix: arrays_c[ai] for ix, ai in expr_src.items()}
+    vcnts = {ix: arrays_c[ai] for ix, ai in expr_vcnt.items()}
     extra_cols_c = [
         (arrays_c[base_len + 2 * i], arrays_c[base_len + 2 * i + 1])
         for i in range(len(extra_groups))
@@ -467,6 +515,7 @@ def _try_route(executor, op, agg, ordered: bool):
         expr_sums = {
             ix: a[:n_live][order] for ix, a in expr_sums.items()
         }
+        vcnts = {ix: a[:n_live][order] for ix, a in vcnts.items()}
         extra_cols_c = [
             (d[:n_live][order], v[:n_live][order]) for d, v in extra_cols_c
         ]
@@ -485,22 +534,33 @@ def _try_route(executor, op, agg, ordered: bool):
         ct = dim_b.columns[idx].type
         cols.append(Column(ct, d[:n_out], v[:n_out]))
     for (kind, ix), a in zip(specs, agg.aggregates):
+        colvalid = None  # None -> all valid
         if kind == "sum":
             src = expr_sums[ix]
+            if ix in vcnts:
+                colvalid = vcnts[ix] > 0  # all-NULL group sums to NULL
         elif kind == "min":
             src = mins_c
         elif kind == "max":
             src = maxs_c
         elif kind == "avg":
-            src = expr_sums[ix].astype(jnp.float64) / counts_c.astype(
-                jnp.float64
-            )
-        else:  # count / count_star
+            denom = vcnts.get(ix, counts_c)
+            src = expr_sums[ix].astype(jnp.float64) / jnp.maximum(
+                denom, 1
+            ).astype(jnp.float64)
+            if ix in vcnts:
+                colvalid = denom > 0
+        elif kind == "count" and ix in vcnts:
+            src = vcnts[ix]  # non-NULL count of a NULL-able expression
+        else:  # count(all-valid v) / count_star
             src = counts_c
         rt = a.return_type()
         cols.append(
-            Column(rt, src[:n_out].astype(numpy_dtype_for(rt)),
-                   jnp.ones((n_out,), jnp.bool_))
+            Column(
+                rt, src[:n_out].astype(numpy_dtype_for(rt)),
+                jnp.ones((n_out,), jnp.bool_) if colvalid is None
+                else colvalid[:n_out],
+            )
         )
     if hasattr(executor, "db") and executor.db is not None:
         log = getattr(executor.db, "last_fused_routes", None)

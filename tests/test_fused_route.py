@@ -271,6 +271,46 @@ def test_route_multi_value_columns():
     assert routed == plain
 
 
+def test_route_nullable_value_columns():
+    """NULL-able measures: masked payload sums + validity payloads. count(v)
+    counts non-NULL, avg divides by the non-NULL count, an all-NULL group
+    sums to NULL — bit-exact vs the general path in both variants; min/max
+    over a NULL-able column falls back."""
+    rng = np.random.default_rng(31)
+    dim = (np.arange(24) * 2 + 1).astype(np.int64)
+    n = 3000
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid].copy()
+    fk[::17] = 10_000_019  # misses
+    fv = rng.integers(-30, 120, n)
+    vals = [None if i % 5 == 0 else int(v) for i, v in enumerate(fv)]
+    # key 1 (dim[0]) gets ONLY NULL values: its sum/avg must render NULL
+    vals = [None if k == dim[0] else v for k, v in zip(fk.tolist(), vals)]
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"k": fk.tolist(), "v": vals}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    for sql in [
+        "select d.k, sum(f.v), count(f.v), count(*) from f join d "
+        "on f.k = d.k group by d.k order by d.k",
+        "select d.k, avg(f.v), count(f.v) from f join d on f.k = d.k "
+        "group by d.k",
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert fired, sql
+        assert routed == plain, sql
+    # min over a NULL-able column cannot route (packed range endpoints)
+    sql = ("select d.k, min(f.v) from f join d on f.k = d.k "
+           "group by d.k order by d.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert not fired
+    assert routed == plain
+
+
 def test_route_multi_value_oracle():
     """Numpy oracle for the multi-payload ordered kernel."""
     rng = np.random.default_rng(22)
