@@ -85,11 +85,15 @@ def _mask_payloads(pairs):
 
 @partial(
     jax.jit,
-    static_argnames=("n_groups", "val_bits", "pack32", "dense", "with_minmax"),
+    static_argnames=(
+        "n_groups", "val_bits", "pack32", "dense", "with_minmax",
+        "with_distinct",
+    ),
 )
 def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
                    n_groups: int, val_bits: int, pack32: bool, dense: bool,
-                   with_minmax: bool, extra_pairs=()):
+                   with_minmax: bool, with_distinct: bool = False,
+                   extra_pairs=()):
     """Masked fact rows -> out-of-span key, then the direct kernel.
 
     dim_sorted is already sorted so dim_perm is the identity and the output
@@ -106,7 +110,7 @@ def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_direct(
         fk, fv, dim_sorted.astype(jnp.int64), perm, n_groups, val_bits, pack32,
-        dense=dense, with_minmax=with_minmax,
+        dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
         extra_vals=_mask_payloads(extra_pairs),
     )
 
@@ -239,7 +243,13 @@ def _try_route(executor, op, agg, ordered: bool):
     val_keys: list[str] = []
     specs: list[tuple[str, int | None]] = []  # (kind, val_exprs index)
     for a in agg.aggregates:
-        if not isinstance(a, BoundAggregate) or a.distinct:
+        if not isinstance(a, BoundAggregate):
+            return None
+        if a.distinct and (
+            not ordered or a.function_name not in ("count", "sum", "avg")
+        ):
+            # DISTINCT needs the value packed into the sort key (adjacent
+            # duplicates); only the ordered variant packs values
             return None
         if a.arg is None:
             if a.function_name != "count":
@@ -281,11 +291,15 @@ def _try_route(executor, op, agg, ordered: bool):
             ix = len(val_keys)
             val_keys.append(key)
             val_exprs.append(a.arg)
-        specs.append((a.function_name, ix))
-    # min/max need their value packed into the sort key; only one
-    # expression can be packed
+        specs.append(
+            (a.function_name + ("_d" if a.distinct else ""), ix)
+        )
+    # min/max and DISTINCT need their value packed into the sort key; only
+    # one expression can be packed
     minmax_ixs = {ix for k, ix in specs if k in ("min", "max")}
-    if len(minmax_ixs) > 1:
+    distinct_ixs = {ix for k, ix in specs if k.endswith("_d")}
+    packed_need = minmax_ixs | distinct_ixs
+    if len(packed_need) > 1:
         return None
 
     # ---- execute children (normal recursion; scans/filters run as usual) --
@@ -359,12 +373,13 @@ def _try_route(executor, op, agg, ordered: bool):
         return None
     d_min, d_max = int(d_min), int(d_max)
     with_minmax = bool(minmax_ixs)
-    # the packed expression (ordered only): the min/max one if any (min/max
-    # REQUIRE value packing — range endpoints), else the first expression
-    # (its prefix sum comes free with the rank rows)
+    with_distinct = bool(distinct_ixs)
+    # the packed expression (ordered only): the min/max/DISTINCT one if any
+    # (those REQUIRE value packing — range endpoints / adjacent duplicates),
+    # else the first expression (its prefix sum comes free with the ranks)
     packed_ix = None
     if ordered and val_exprs:
-        packed_ix = next(iter(minmax_ixs)) if minmax_ixs else 0
+        packed_ix = next(iter(packed_need)) if packed_need else 0
     cand = val_cols[packed_ix] if packed_ix is not None else None
     vc = cand if cand is not None else fact_key_col
     f_kmin, f_kmax, v_min, v_max, v_all_valid = _fact_stats(
@@ -382,7 +397,9 @@ def _try_route(executor, op, agg, ordered: bool):
             _cols_valid_flags(tuple(c.valid for c in val_cols))
         )
         nullable = [not bool(f) for f in flags]
-        if minmax_ixs and nullable[next(iter(minmax_ixs))]:
+        if packed_need and nullable[next(iter(packed_need))]:
+            # min/max: masked entries cannot be skipped at range endpoints;
+            # DISTINCT: masking NULL to 0 would alias a real 0 value
             return None
     f_kmax = max(int(f_kmax), d_max)
     f_kmin = min(int(f_kmin), d_min)
@@ -408,8 +425,8 @@ def _try_route(executor, op, agg, ordered: bool):
                 packable = False
                 val_bits = 1
             if not packable:
-                if with_minmax:
-                    return None  # min/max cannot ride a payload
+                if with_minmax or with_distinct:
+                    return None  # min/max/DISTINCT cannot ride a payload
                 packed_ix = None
         else:
             val_bits = 1  # counts only / payloads only: packed zeros
@@ -436,11 +453,14 @@ def _try_route(executor, op, agg, ordered: bool):
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
             vals, pvalid, dim_sorted, jnp.int64(miss_key),
             n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
-            dense=dense, with_minmax=with_minmax, extra_pairs=pairs,
+            dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
+            extra_pairs=pairs,
         )
-        # kernel layout: sums_packed, counts, [mins, maxs,] extra sums…,
-        # validity counts…
-        kb = 4 if with_minmax else 2
+        # kernel layout: sums_packed, counts, [mins, maxs,] [dcnt, dsum,]
+        # extra sums…, validity counts…
+        dbase = 4 if with_minmax else 2
+        kb = dbase + (2 if with_distinct else 0)
+        dcnt_ai, dsum_ai = dbase, dbase + 1
         expr_src = {k: kb + j for j, k in enumerate(extra_ixs)}
         if packed_ix is not None:
             expr_src[packed_ix] = 0
@@ -502,11 +522,13 @@ def _try_route(executor, op, agg, ordered: bool):
     if ordered:
         mins_c = arrays_c[2] if with_minmax else None
         maxs_c = arrays_c[3] if with_minmax else None
+        dcnt_c = arrays_c[dcnt_ai] if with_distinct else None
+        dsum_c = arrays_c[dsum_ai] if with_distinct else None
     else:
         # reorder the surviving groups into first-appearance order (the
         # engine's guaranteed group order): fact on the right → min probe
         # (fact) rowid; dim on the right → original dim row position
-        mins_c = maxs_c = None
+        mins_c = maxs_c = dcnt_c = dsum_c = None
         n_live = int(n_alive)
         order_src = arrays_c[2] if fact_side == "right" else arrays_c[pos_idx]
         order = jnp.argsort(order_src[:n_live])
@@ -550,6 +572,14 @@ def _try_route(executor, op, agg, ordered: bool):
             ).astype(jnp.float64)
             if ix in vcnts:
                 colvalid = denom > 0
+        elif kind == "count_d":
+            src = dcnt_c
+        elif kind == "sum_d":
+            src = dsum_c
+        elif kind == "avg_d":
+            src = dsum_c.astype(jnp.float64) / jnp.maximum(
+                dcnt_c, 1
+            ).astype(jnp.float64)
         elif kind == "count" and ix in vcnts:
             src = vcnts[ix]  # non-NULL count of a NULL-able expression
         else:  # count(all-valid v) / count_star

@@ -237,12 +237,15 @@ def _sorted_ranks_left(sp2d, queries):
 
 @partial(
     jax.jit,
-    static_argnames=("n_groups", "val_bits", "pack32", "dense", "with_minmax"),
+    static_argnames=(
+        "n_groups", "val_bits", "pack32", "dense", "with_minmax",
+        "with_distinct",
+    ),
 )
 def join_groupby_direct(
     fact_keys, fact_vals, dim_keys_sorted, dim_perm, n_groups: int,
     val_bits: int, pack32: bool, dense: bool = False,
-    with_minmax: bool = False, extra_vals=(),
+    with_minmax: bool = False, with_distinct: bool = False, extra_vals=(),
 ):
     """The speed-of-light formulation of fact⋈dim + GROUP BY dim_row for
     unique dim keys: sort + prefix sum + 2G binary searches. No run-boundary
@@ -283,7 +286,15 @@ def join_groupby_direct(
     216 ms vs 1 op 145 ms at 33.5M on v5e), summed per group via one
     (Q,128) payload-row gather at the SAME rank positions the packed value
     uses. Payloads are not packed, so negatives and wide ranges are fine.
-    Appended to the return tuple as per-group int64 sums."""
+    Appended to the return tuple as per-group int64 sums.
+
+    with_distinct: the packed sort places each group's EQUAL values
+    adjacently, so a change flag (sp[i] != sp[i-1] — always 1 at group
+    boundaries since keys live in the high bits) derived IN-program marks
+    the first occurrence of every distinct (key, value); prefix sums of
+    the flag and of flag*value at the same rank positions give per-group
+    COUNT(DISTINCT v) and SUM(DISTINCT v) with no extra sort operand.
+    Appended as (…, dcounts, dsums) right after the minmax outputs."""
     if pack32:
         packed = (fact_keys.astype(jnp.int32) << val_bits) | fact_vals.astype(
             jnp.int32
@@ -344,8 +355,18 @@ def join_groupby_direct(
     cnt_sorted = (hi - lo).astype(jnp.int64)
     sums = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
     counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
+    derived = []
+    if with_distinct:
+        # first-occurrence flags of each distinct (key, value): group
+        # boundaries always flag 1 (keys in the high bits), duplicates 0
+        flag = jnp.concatenate(
+            [jnp.ones((1,), jnp.int64), (sp[1:] != sp[:-1]).astype(jnp.int64)]
+        )
+        dval = flag * (sp & vmask).astype(jnp.int64)
+        derived = [flag, dval]
+    payloads = tuple(derived) + tuple(evs)
     extra_out = []
-    if evs:
+    if payloads:
         # payload prefix sums at the SAME rank positions: per payload one
         # block-sum pass + one (Q,128) gathered row (Q = G+1 dense / 2G)
         lane = jnp.arange(blk, dtype=jnp.int32)
@@ -353,7 +374,7 @@ def join_groupby_direct(
         rem = (ranks % blk).astype(jnp.int32)
         brow = jnp.clip(b, 0, nb - 1)
         under = lane[None, :] < rem[:, None]
-        for e in evs:
+        for e in payloads:
             e2d = e.reshape(nb, blk)
             ebs = jnp.sum(e2d, axis=1)
             ebp = jnp.concatenate([jnp.cumsum(ebs) - ebs, jnp.sum(ebs)[None]])

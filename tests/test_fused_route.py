@@ -311,6 +311,55 @@ def test_route_nullable_value_columns():
     assert routed == plain
 
 
+def test_route_distinct_aggregates():
+    """count/sum/avg(DISTINCT v) in the ordered variant: the packed sort
+    places equal (key, value) pairs adjacently, so first-occurrence flags
+    derived in-program yield distinct counts/sums with no extra sort."""
+    rng = np.random.default_rng(41)
+    dim = (np.arange(20) * 4 + 3).astype(np.int64)
+    n = 2500
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid].copy()
+    fk[::11] = 10_000_019  # misses
+    fv = rng.integers(0, 12, n).astype(np.int64)  # few values: many dups
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"k": fk.tolist(), "v": fv.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    for sql in [
+        "select d.k, count(distinct f.v), count(*) from f join d "
+        "on f.k = d.k group by d.k order by d.k",
+        "select d.k, sum(distinct f.v), sum(f.v) from f join d "
+        "on f.k = d.k group by d.k order by d.k",
+        "select d.k, avg(distinct f.v), min(f.v), max(f.v) from f join d "
+        "on f.k = d.k group by d.k order by d.k",
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert fired, sql
+        assert routed == plain, sql
+    # numpy oracle for distinct counts
+    db.last_fused_routes = []
+    got = db.run_lines(
+        "select d.k, count(distinct f.v) from f join d on f.k = d.k "
+        "group by d.k order by d.k")
+    assert db.last_fused_routes
+    hit = fk != 10_000_019
+    exp = {}
+    for k, v in zip(fk[hit], fv[hit]):
+        exp.setdefault(int(k), set()).add(int(v))
+    assert got == [f"{k} {len(vs)}" for k, vs in sorted(exp.items())]
+    # two different DISTINCT expressions cannot both pack: falls back
+    sql = ("select d.k, count(distinct f.v), sum(distinct f.v + 1) "
+           "from f join d on f.k = d.k group by d.k order by d.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert not fired
+    assert routed == plain
+
+
 def test_route_multi_value_oracle():
     """Numpy oracle for the multi-payload ordered kernel."""
     rng = np.random.default_rng(22)
@@ -381,9 +430,10 @@ def test_ineligible_shapes_fall_back():
         # CROSS-side residual filter on the join (not pushable)
         "select d.k, sum(f.v) from f join d on f.k=d.k and f.v > d.k "
         "group by d.k order by d.k",
-        # DISTINCT aggregate
+        # DISTINCT without an ORDER BY (first-appearance variant cannot
+        # order values inside a range)
         "select d.k, count(distinct f.v) from f join d on f.k=d.k "
-        "group by d.k order by d.k",
+        "group by d.k",
     ]
     for sql in cases:
         db.last_fused_routes = []
