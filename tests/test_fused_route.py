@@ -462,3 +462,51 @@ def test_duplicate_dim_keys_fall_back_with_pair_multiplicity():
     assert not db.last_fused_routes
     # key 1 joins twice per fact row: sum doubled, count doubled
     assert got == ["1 60 4", "2 30 1"]
+
+
+def test_route_fuzz_differential():
+    """Seeded randomized differential: random dim spans, NULL densities,
+    value ranges (negatives included), and aggregate lists — routed output
+    must be bit-identical to the general path whenever a route fires, and
+    correct either way."""
+    rng = np.random.default_rng(77)
+    agg_pool = [
+        "sum(f.a)", "sum(f.b)", "count(f.a)", "count(f.b)", "count(*)",
+        "avg(f.a)", "avg(f.b)", "min(f.a)", "max(f.a)",
+        "sum(f.a + f.b)", "count(distinct f.a)", "sum(distinct f.a)",
+    ]
+    fired_total = 0
+    for case in range(10):
+        g = int(rng.integers(4, 40))
+        dense = bool(rng.integers(0, 2))
+        base = int(rng.integers(-50, 50))
+        dim = (np.arange(g) + base if dense
+               else np.cumsum(rng.integers(1, 9, g)) + base).astype(np.int64)
+        n = int(rng.integers(200, 1500))
+        gid = rng.integers(0, g, n)
+        fk = dim[gid].copy()
+        fk[:: int(rng.integers(5, 15))] = dim.max() + 7  # misses
+        a_max = int(rng.integers(2, 200))
+        fa = rng.integers(0, a_max, n).astype(np.int64)
+        fb = rng.integers(-100, 100, n).astype(np.int64)
+        null_a = int(rng.integers(0, 3))  # 0: none
+        avals = [None if (null_a and i % (null_a * 7) == 0) else int(v)
+                 for i, v in enumerate(fa)]
+        db = sqlrs_tpu.Database()
+        db.create_memory_table(
+            "f", DeviceBatch.from_pydict(
+                Schema.of([("k", LT.BIGINT), ("a", LT.BIGINT),
+                           ("b", LT.BIGINT)]),
+                {"k": fk.tolist(), "a": avals, "b": fb.tolist()}))
+        db.create_memory_table(
+            "d", DeviceBatch.from_pydict(
+                Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+        n_aggs = int(rng.integers(1, 5))
+        aggs = ", ".join(rng.choice(agg_pool, n_aggs, replace=False))
+        order = " order by d.k" if rng.integers(0, 2) else ""
+        sql = (f"select d.k, {aggs} from f join d on f.k = d.k "
+               f"group by d.k{order}")
+        routed, plain, fired = _both_ways(db, sql)
+        fired_total += bool(fired)
+        assert routed == plain, (case, sql)
+    assert fired_total >= 5, f"routes fired in only {fired_total}/10 cases"
