@@ -50,14 +50,16 @@ def main(argv=None) -> None:
     dim_keys = np.arange(groups, dtype=np.int64)
     fk = dim_keys[gid]
     fv = rng.integers(0, 100, n).astype(np.int64)
+    fw = rng.integers(-50, 50, n).astype(np.int64)  # payload-only (negative)
 
     db = sqlrs_tpu.Database()
-    fschema = Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)])
+    fschema = Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT), ("w", LT.BIGINT)])
     db.create_memory_table(
         "f",
         DeviceBatch(
             fschema,
-            [Column.from_numpy(LT.BIGINT, fk), Column.from_numpy(LT.BIGINT, fv)],
+            [Column.from_numpy(LT.BIGINT, fk), Column.from_numpy(LT.BIGINT, fv),
+             Column.from_numpy(LT.BIGINT, fw)],
             n,
         ),
     )
@@ -89,6 +91,32 @@ def main(argv=None) -> None:
     db.enable_fused_route = True
     assert out_r == out_p, "routed result differs from general path"
 
+    # 6-aggregate rollup: packed value (min/max) + payload sums incl. a
+    # negative-valued column and a DISTINCT — the round-3 widened surface,
+    # still ONE device program through the route
+    multi_sql = (
+        "select d.k, sum(f.v), min(f.v), max(f.v), sum(f.w), "
+        "count(distinct f.v), count(*) from f join d on f.k = d.k "
+        "group by d.k order by d.k"
+    )
+
+    def run_multi(enabled: bool):
+        db.enable_fused_route = enabled
+        db.last_fused_routes = []
+        db.run_lines(multi_sql)
+        times = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            out = db.run_lines(multi_sql)
+            times.append(time.perf_counter() - t0)
+        return min(times), out, list(db.last_fused_routes)
+
+    tm_r, om_r, m_routes = run_multi(True)
+    assert m_routes, "multi-agg route did not fire"
+    tm_p, om_p, _ = run_multi(False)
+    db.enable_fused_route = True
+    assert om_r == om_p, "multi-agg routed result differs"
+
     print(json.dumps({
         "metric": "sql_star_rollup_rows_per_sec",
         "value": round(n / t_routed),
@@ -100,6 +128,12 @@ def main(argv=None) -> None:
             "general_path_s": round(t_plain, 4),
             "route": routes[0],
             "baseline": "same engine, fused route disabled",
+            "multi6_routed_s": round(tm_r, 4),
+            "multi6_general_s": round(tm_p, 4),
+            "multi6_speedup": round(tm_p / tm_r, 2),
+            "multi6_rows_per_sec": round(n / tm_r),
+            "multi6_aggs": "sum/min/max(v), sum(w<0 ok), "
+                           "count(distinct v), count(*)",
         },
     }))
 
