@@ -67,33 +67,50 @@ def _fact_stats(keys, kvalid, vals, vvalid):
 
 
 @jax.jit
-def _cols_valid_flags(valids):
-    """Per-column all-valid flags for a tuple of validity masks — ONE
-    program, one host fetch."""
-    return jnp.stack([jnp.all(v) for v in valids])
+def _cols_stats(datas, valids):
+    """Per-column (all_valid, min, max) over valid rows for tuples of value
+    columns — ONE program, one host fetch. Mins/maxs drive int32 payload
+    packing (halves the payload's share of the sort's HBM traffic)."""
+    flags = jnp.stack([jnp.all(v) for v in valids])
+    big = jnp.iinfo(jnp.int64).max
+    mins = jnp.stack([
+        jnp.min(jnp.where(v, d.astype(jnp.int64), big))
+        for d, v in zip(datas, valids)
+    ])
+    maxs = jnp.stack([
+        jnp.max(jnp.where(v, d.astype(jnp.int64), -big))
+        for d, v in zip(datas, valids)
+    ])
+    return flags, mins, maxs
 
 
-def _mask_payloads(pairs):
-    """(data, valid|None) pairs -> int64 payload arrays, NULLs as 0 (adds
-    nothing to the payload sums; their count rides a validity payload)."""
-    return tuple(
-        jnp.where(v, d.astype(jnp.int64), 0) if v is not None
-        else d.astype(jnp.int64)
-        for d, v in pairs
-    )
+def _mask_payloads(pairs, packs):
+    """(data, valid|None) pairs -> payload arrays, NULLs as 0 (adds nothing
+    to the payload sums; their count rides a validity payload). packs[i]
+    selects int32 (range-checked by the caller — the sort is HBM-bound, so
+    narrower payloads are proportionally cheaper); cast precedes masking so
+    wrapped garbage in NULL slots is zeroed."""
+    out = []
+    for (d, v), p32 in zip(pairs, packs):
+        dt = jnp.int32 if p32 else jnp.int64
+        x = d.astype(dt)
+        if v is not None:
+            x = jnp.where(v, x, jnp.zeros((), dt))
+        out.append(x)
+    return tuple(out)
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "n_groups", "val_bits", "pack32", "dense", "with_minmax",
-        "with_distinct",
+        "with_distinct", "extra_packs",
     ),
 )
 def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
                    n_groups: int, val_bits: int, pack32: bool, dense: bool,
                    with_minmax: bool, with_distinct: bool = False,
-                   extra_pairs=()):
+                   extra_pairs=(), extra_packs=()):
     """Masked fact rows -> out-of-span key, then the direct kernel.
 
     dim_sorted is already sorted so dim_perm is the identity and the output
@@ -111,19 +128,22 @@ def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
     return join_groupby_direct(
         fk, fv, dim_sorted.astype(jnp.int64), perm, n_groups, val_bits, pack32,
         dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
-        extra_vals=_mask_payloads(extra_pairs),
+        extra_vals=_mask_payloads(extra_pairs, extra_packs),
     )
 
 
-@partial(jax.jit, static_argnames=("n_groups", "rid_bits", "dense"))
+@partial(
+    jax.jit, static_argnames=("n_groups", "rid_bits", "dense", "packs")
+)
 def _routed_kernel_firstapp(fkeys, fvalid, pairs, dim_sorted, miss_key,
-                            n_groups: int, rid_bits: int, dense: bool):
+                            n_groups: int, rid_bits: int, dense: bool,
+                            packs=()):
     from sqlrs_tpu.ops.pipelines import join_groupby_firstapp
 
     fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_firstapp(
-        fk, _mask_payloads(pairs), dim_sorted.astype(jnp.int64), perm,
+        fk, _mask_payloads(pairs, packs), dim_sorted.astype(jnp.int64), perm,
         n_groups, rid_bits, dense=dense,
     )
 
@@ -387,16 +407,26 @@ def _try_route(executor, op, agg, ordered: bool):
         vc.data.astype(jnp.int64), vc.valid,
     )
     nullable: list[bool] = []
+    fits32: list[bool] = []
     if val_cols:
         # NULL-able value columns are handled with masked payloads (NULL
         # sums as 0) plus one validity payload each for the per-group
         # non-NULL count (count(v), avg denominator, all-NULL-group NULL
         # sums). min/max alone need every value real: range endpoints of
         # the packed sort cannot skip masked entries.
-        flags = _np.asarray(
-            _cols_valid_flags(tuple(c.valid for c in val_cols))
+        flags, vmins, vmaxs = (
+            _np.asarray(a) for a in _cols_stats(
+                tuple(c.data for c in val_cols),
+                tuple(c.valid for c in val_cols),
+            )
         )
         nullable = [not bool(f) for f in flags]
+        lo32, hi32 = -(1 << 31), (1 << 31) - 1
+        fits32 = [
+            int(mn) > int(mx)  # no valid rows: masked zeros
+            or (lo32 < int(mn) and int(mx) < hi32)
+            for mn, mx in zip(vmins, vmaxs)
+        ]
         if packed_need and nullable[next(iter(packed_need))]:
             # min/max: masked entries cannot be skipped at range endpoints;
             # DISTINCT: masking NULL to 0 would alias a real 0 value
@@ -447,14 +477,17 @@ def _try_route(executor, op, agg, ordered: bool):
             (val_cols[k].data, val_cols[k].valid if nullable[k] else None)
             for k in extra_ixs
         ) + tuple(
-            (val_cols[k].valid.astype(jnp.int64), None) for k in valid_ixs
+            (val_cols[k].valid.astype(jnp.int32), None) for k in valid_ixs
+        )
+        packs = tuple(fits32[k] for k in extra_ixs) + tuple(
+            True for _ in valid_ixs  # 0/1 flags always fit
         )
         out = _routed_kernel(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
             vals, pvalid, dim_sorted, jnp.int64(miss_key),
             n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
             dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
-            extra_pairs=pairs,
+            extra_pairs=pairs, extra_packs=packs,
         )
         # kernel layout: sums_packed, counts, [mins, maxs,] [dcnt, dsum,]
         # extra sums…, validity counts…
@@ -474,14 +507,16 @@ def _try_route(executor, op, agg, ordered: bool):
             (c.data, c.valid if nullable[k] else None)
             for k, c in enumerate(val_cols)
         ) + tuple(
-            (val_cols[k].valid.astype(jnp.int64), None) for k in valid_ixs
+            (val_cols[k].valid.astype(jnp.int32), None) for k in valid_ixs
         )
+        packs = tuple(fits32) + tuple(True for _ in valid_ixs)
         if not pairs:
-            pairs = ((jnp.zeros((n_fact,), jnp.int64), None),)
+            pairs = ((jnp.zeros((n_fact,), jnp.int32), None),)
+            packs = (True,)
         out = _routed_kernel_firstapp(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
             pairs, dim_sorted, jnp.int64(miss_key),
-            n_groups=n_groups, rid_bits=rid_bits, dense=dense,
+            n_groups=n_groups, rid_bits=rid_bits, dense=dense, packs=packs,
         )
         # kernel layout: sums_0, counts, firsts, sums_1…, validity counts…
         expr_src = {k: (0 if k == 0 else k + 2) for k in range(len(val_cols))}

@@ -314,10 +314,13 @@ def join_groupby_direct(
         packed = jnp.concatenate(
             [packed, jnp.full((pad,), jnp.iinfo(packed.dtype).max, packed.dtype)]
         )
-    evs = tuple(e.astype(jnp.int64) for e in extra_vals)
+    # payloads keep their caller-chosen width (int32 when the range allows:
+    # the sort is HBM-bound, narrower payloads are proportionally cheaper);
+    # all accumulation below is explicit int64
+    evs = tuple(extra_vals)
     if pad:
         evs = tuple(
-            jnp.concatenate([e, jnp.zeros((pad,), jnp.int64)]) for e in evs
+            jnp.concatenate([e, jnp.zeros((pad,), e.dtype)]) for e in evs
         )
     if evs:
         sorted_all = lax.sort((packed,) + evs, num_keys=1)
@@ -376,9 +379,12 @@ def join_groupby_direct(
         under = lane[None, :] < rem[:, None]
         for e in payloads:
             e2d = e.reshape(nb, blk)
-            ebs = jnp.sum(e2d, axis=1)
+            ebs = jnp.sum(e2d, axis=1, dtype=jnp.int64)
             ebp = jnp.concatenate([jnp.cumsum(ebs) - ebs, jnp.sum(ebs)[None]])
-            part = jnp.sum(jnp.where(under, e2d[brow], 0), axis=1)
+            part = jnp.sum(
+                jnp.where(under, e2d[brow], jnp.zeros((), e2d.dtype)),
+                axis=1, dtype=jnp.int64,
+            )
             pr = ebp[jnp.clip(b, 0, nb)] + part
             es = (pr[1:] - pr[:g]) if dense else (pr[g:] - pr[:g])
             extra_out.append(
@@ -434,13 +440,14 @@ def join_groupby_firstapp(
     packed = (fact_keys.astype(jnp.int64) << rid_bits) | rid
     blk = 128
     pad = (-n) % blk
-    vals = tuple(v.astype(jnp.int64) for v in vals)
+    # payloads keep their caller-chosen width (int32 when ranges allow);
+    # accumulation below is explicit int64
     if pad:
         packed = jnp.concatenate(
             [packed, jnp.full((pad,), jnp.iinfo(jnp.int64).max, jnp.int64)]
         )
         vals = tuple(
-            jnp.concatenate([v, jnp.zeros((pad,), jnp.int64)]) for v in vals
+            jnp.concatenate([v, jnp.zeros((pad,), v.dtype)]) for v in vals
         )
     sorted_all = lax.sort((packed,) + vals, num_keys=1)
     sp, vsorted = sorted_all[0], sorted_all[1:]
@@ -469,9 +476,12 @@ def join_groupby_firstapp(
     sums_all = []
     for vs in vsorted:
         v2d = vs.reshape(nb, blk)
-        bs = jnp.sum(v2d, axis=1)
+        bs = jnp.sum(v2d, axis=1, dtype=jnp.int64)
         bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
-        part = jnp.sum(jnp.where(under, v2d[brow], 0), axis=1)
+        part = jnp.sum(
+            jnp.where(under, v2d[brow], jnp.zeros((), v2d.dtype)),
+            axis=1, dtype=jnp.int64,
+        )
         pr = bp[bcol] + part
         sum_sorted = (pr[1:] - pr[:g]) if dense else (pr[g:] - pr[:g])
         sums_all.append(
