@@ -31,6 +31,15 @@ import os as _os
 
 import jax
 
+# Honor JAX_PLATFORMS before the first backend touch: the env var alone does
+# not stop jax from initializing a remote PJRT plugin (e.g. the axon TPU
+# relay) at first dispatch — with the relay unreachable that init HANGS a
+# process that only asked for cpu. Mirroring the env var into the config
+# makes CPU-pinned runs (tests, virtual-mesh dryruns) immune. No env var ->
+# default platform selection (the real chip) is untouched.
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: plan shapes recompile only once per machine,
