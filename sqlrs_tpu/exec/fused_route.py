@@ -57,13 +57,11 @@ def _dim_stats(keys, valid):
 
 
 @jax.jit
-def _fact_stats(keys, kvalid, vals, vvalid):
-    """(key_min, key_max, val_min, val_max, vals_all_valid), valid rows only."""
+def _fact_stats(keys, kvalid):
+    """(key_min, key_max) over valid rows."""
     kmin = jnp.min(jnp.where(kvalid, keys, jnp.iinfo(keys.dtype).max))
     kmax = jnp.max(jnp.where(kvalid, keys, jnp.iinfo(keys.dtype).min))
-    vmin = jnp.min(jnp.where(vvalid, vals, jnp.iinfo(vals.dtype).max))
-    vmax = jnp.max(jnp.where(vvalid, vals, jnp.iinfo(vals.dtype).min))
-    return kmin, kmax, vmin, vmax, jnp.all(vvalid)
+    return kmin, kmax
 
 
 @jax.jit
@@ -394,20 +392,12 @@ def _try_route(executor, op, agg, ordered: bool):
     d_min, d_max = int(d_min), int(d_max)
     with_minmax = bool(minmax_ixs)
     with_distinct = bool(distinct_ixs)
-    # the packed expression (ordered only): the min/max/DISTINCT one if any
-    # (those REQUIRE value packing — range endpoints / adjacent duplicates),
-    # else the first expression (its prefix sum comes free with the ranks)
-    packed_ix = None
-    if ordered and val_exprs:
-        packed_ix = next(iter(packed_need)) if packed_need else 0
-    cand = val_cols[packed_ix] if packed_ix is not None else None
-    vc = cand if cand is not None else fact_key_col
-    f_kmin, f_kmax, v_min, v_max, v_all_valid = _fact_stats(
-        fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
-        vc.data.astype(jnp.int64), vc.valid,
+    f_kmin, f_kmax = _fact_stats(
+        fact_key_col.data.astype(jnp.int64), fact_key_col.valid
     )
     nullable: list[bool] = []
     fits32: list[bool] = []
+    vmins = vmaxs = ()
     if val_cols:
         # NULL-able value columns are handled with masked payloads (NULL
         # sums as 0) plus one validity payload each for the per-group
@@ -440,26 +430,38 @@ def _try_route(executor, op, agg, ordered: bool):
     # counts for count(v) / avg denominators / NULL-sum detection)
     valid_ixs = [k for k in range(len(val_cols)) if nullable[k]]
     if ordered:
-        if packed_ix is not None:
-            # packing wants 0 <= value and key headroom; when it fails and
-            # no min/max needs it, demote the expression to a payload.
-            # (v_min/v_max are over VALID rows; NULLs pack as masked 0.)
-            v_min, v_max = int(v_min), int(v_max)
-            packable = v_min >= 0
-            val_bits = max(int(v_max).bit_length(), 1) if packable else 1
-            if packable and (
-                val_bits >= 62
-                or miss_key >= (1 << (62 - val_bits))
-                or f_kmin <= -(1 << (62 - val_bits))
+        # the packed expression: the min/max/DISTINCT one if any (those
+        # REQUIRE packing — range endpoints / adjacent duplicates), else the
+        # first expression whose valid range packs (0 <= value, headroom);
+        # its prefix sum comes free with the rank rows. Everything else
+        # rides as payloads; no packable expression at all is fine too.
+        def _bits_ok(k):
+            if nullable[k] and k in distinct_ixs:
+                return None
+            vmx = max(int(vmaxs[k]), 0)
+            if int(vmins[k]) < 0 and int(vmins[k]) <= int(vmaxs[k]):
+                return None
+            vb = max(vmx.bit_length(), 1)
+            if vb >= 62 or miss_key >= (1 << (62 - vb)) or f_kmin <= -(
+                1 << (62 - vb)
             ):
-                packable = False
-                val_bits = 1
-            if not packable:
-                if with_minmax or with_distinct:
-                    return None  # min/max/DISTINCT cannot ride a payload
-                packed_ix = None
+                return None
+            return vb
+
+        packed_ix = None
+        val_bits = 1
+        if packed_need:
+            packed_ix = next(iter(packed_need))
+            vb = _bits_ok(packed_ix)
+            if vb is None:
+                return None  # min/max/DISTINCT cannot ride a payload
+            val_bits = vb
         else:
-            val_bits = 1  # counts only / payloads only: packed zeros
+            for k in range(len(val_cols)):
+                vb = _bits_ok(k)
+                if vb is not None:
+                    packed_ix, val_bits = k, vb
+                    break
         if miss_key >= (1 << (62 - val_bits)) or f_kmin <= -(1 << (62 - val_bits)):
             return None  # packing headroom exhausted
         pack32 = (
