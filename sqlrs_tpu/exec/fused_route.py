@@ -49,37 +49,44 @@ from sqlrs_tpu.types.types import LogicalType, numpy_dtype_for
 
 
 @jax.jit
-def _dim_stats(keys, valid):
-    """(sorted_keys, all_valid, unique, kmin, kmax) for the dim key column."""
-    ks = jnp.sort(keys)
-    unique = jnp.all(ks[1:] > ks[:-1]) if keys.shape[0] > 1 else jnp.bool_(True)
-    return ks, jnp.all(valid), unique, ks[0], ks[-1]
+def _route_stats(dim_keys, dim_valid, fact_keys, fact_valid, datas, valids):
+    """Every dynamic eligibility check in ONE program with ONE small host
+    fetch (each dispatch and each fetch is a ~28 ms RTT over the relay):
 
+      dim_sorted            (G,)  — stays on device for the kernel
+      meta  int64[6 + 3V]:  [d_all_valid, d_unique, d_min, d_max,
+                             f_kmin, f_kmax,
+                             per-value-column all_valid…, min…, max…]
 
-@jax.jit
-def _fact_stats(keys, kvalid):
-    """(key_min, key_max) over valid rows."""
-    kmin = jnp.min(jnp.where(kvalid, keys, jnp.iinfo(keys.dtype).max))
-    kmax = jnp.max(jnp.where(kvalid, keys, jnp.iinfo(keys.dtype).min))
-    return kmin, kmax
-
-
-@jax.jit
-def _cols_stats(datas, valids):
-    """Per-column (all_valid, min, max) over valid rows for tuples of value
-    columns — ONE program, one host fetch. Mins/maxs drive int32 payload
-    packing (halves the payload's share of the sort's HBM traffic)."""
-    flags = jnp.stack([jnp.all(v) for v in valids])
+    Value mins/maxs are over VALID rows; they drive packed-expression
+    selection and int32 payload packing (the sort is HBM-bound: narrower
+    payloads are proportionally cheaper)."""
+    ks = jnp.sort(dim_keys)
+    unique = (
+        jnp.all(ks[1:] > ks[:-1]) if dim_keys.shape[0] > 1 else jnp.bool_(True)
+    )
+    kmin = jnp.min(
+        jnp.where(fact_valid, fact_keys, jnp.iinfo(fact_keys.dtype).max)
+    )
+    kmax = jnp.max(
+        jnp.where(fact_valid, fact_keys, jnp.iinfo(fact_keys.dtype).min)
+    )
+    parts = [
+        jnp.all(dim_valid).astype(jnp.int64)[None],
+        unique.astype(jnp.int64)[None],
+        ks[0][None].astype(jnp.int64),
+        ks[-1][None].astype(jnp.int64),
+        kmin[None].astype(jnp.int64),
+        kmax[None].astype(jnp.int64),
+    ]
     big = jnp.iinfo(jnp.int64).max
-    mins = jnp.stack([
-        jnp.min(jnp.where(v, d.astype(jnp.int64), big))
-        for d, v in zip(datas, valids)
-    ])
-    maxs = jnp.stack([
-        jnp.max(jnp.where(v, d.astype(jnp.int64), -big))
-        for d, v in zip(datas, valids)
-    ])
-    return flags, mins, maxs
+    for v in valids:
+        parts.append(jnp.all(v).astype(jnp.int64)[None])
+    for d, v in zip(datas, valids):
+        parts.append(jnp.min(jnp.where(v, d.astype(jnp.int64), big))[None])
+    for d, v in zip(datas, valids):
+        parts.append(jnp.max(jnp.where(v, d.astype(jnp.int64), -big))[None])
+    return ks, jnp.concatenate(parts)
 
 
 def _mask_payloads(pairs, packs):
@@ -383,18 +390,21 @@ def _try_route(executor, op, agg, ordered: bool):
         for k, c in zip(eval_ixs, outs):
             val_cols[k] = c
 
-    # ---- dynamic checks (two tiny programs + scalar fetches) -------------
-    dim_sorted, d_all_valid, d_unique, d_min, d_max = _dim_stats(
-        dim_key_col.data.astype(jnp.int64), dim_key_col.valid
+    # ---- dynamic checks (ONE tiny program + ONE host fetch) --------------
+    nv = len(val_cols)
+    dim_sorted, meta_dev = _route_stats(
+        dim_key_col.data.astype(jnp.int64), dim_key_col.valid,
+        fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
+        tuple(c.data for c in val_cols),
+        tuple(c.valid for c in val_cols),
     )
-    if not bool(d_all_valid) or not bool(d_unique):
-        return None
-    d_min, d_max = int(d_min), int(d_max)
+    meta = _np.asarray(meta_dev)
+    if not bool(meta[0]) or not bool(meta[1]):
+        return None  # NULL or duplicate dim keys
+    d_min, d_max = int(meta[2]), int(meta[3])
+    f_kmin, f_kmax = int(meta[4]), int(meta[5])
     with_minmax = bool(minmax_ixs)
     with_distinct = bool(distinct_ixs)
-    f_kmin, f_kmax = _fact_stats(
-        fact_key_col.data.astype(jnp.int64), fact_key_col.valid
-    )
     nullable: list[bool] = []
     fits32: list[bool] = []
     vmins = vmaxs = ()
@@ -404,12 +414,9 @@ def _try_route(executor, op, agg, ordered: bool):
         # non-NULL count (count(v), avg denominator, all-NULL-group NULL
         # sums). min/max alone need every value real: range endpoints of
         # the packed sort cannot skip masked entries.
-        flags, vmins, vmaxs = (
-            _np.asarray(a) for a in _cols_stats(
-                tuple(c.data for c in val_cols),
-                tuple(c.valid for c in val_cols),
-            )
-        )
+        flags = meta[6:6 + nv]
+        vmins = meta[6 + nv:6 + 2 * nv]
+        vmaxs = meta[6 + 2 * nv:6 + 3 * nv]
         nullable = [not bool(f) for f in flags]
         lo32, hi32 = -(1 << 31), (1 << 31) - 1
         fits32 = [
@@ -421,8 +428,8 @@ def _try_route(executor, op, agg, ordered: bool):
             # min/max: masked entries cannot be skipped at range endpoints;
             # DISTINCT: masking NULL to 0 would alias a real 0 value
             return None
-    f_kmax = max(int(f_kmax), d_max)
-    f_kmin = min(int(f_kmin), d_min)
+    f_kmax = max(f_kmax, d_max)
+    f_kmin = min(f_kmin, d_min)
     miss_key = f_kmax + 1  # out of every dim range, incl. the last boundary
     dense = (d_max - d_min + 1) == n_groups
 
