@@ -22,8 +22,10 @@ from a packed sort beats materializing pairs.
 
 Eligibility is checked statically from the plan (single int equi-key, no
 residual, no distinct, any number of distinct aggregate value expressions
-on one side — at most one of them under min/max) and dynamically from two
-tiny device programs (dim keys unique + spans + value range + validity).
+on one side — at most one of them under min/max) and dynamically from ONE
+tiny device program (dim keys unique + spans + value ranges + validity,
+fetched as a single meta vector). A routed query is 5 dispatches end to
+end: stats, kernel, compaction, finalize, render-slice.
 Beyond the first (packed) value expression, values ride the variadic sort
 as payloads: negatives are fine there, and each costs only one extra
 (Q,128) payload-row gather. NULL-able value columns sum as masked zeros
@@ -164,6 +166,50 @@ def _compact_nonempty(dim_sorted, arrays):
         tuple(a[order] for a in arrays),
         jnp.sum(alive),
     )
+
+
+@partial(jax.jit, static_argnames=("n_out", "spec", "reorder", "order_ix"))
+def _finalize(arrays, n_out: int, spec, reorder: bool = False,
+              order_ix: int = -1):
+    """Emit every output column in ONE program. spec entries are
+    (op, ai, bi, dtype, vop, vai): op 'slice' takes arrays[ai], 'div'
+    computes float64 arrays[ai]/max(arrays[bi],1); dtype (np.dtype or
+    None=keep) casts; vop selects the validity mask — 'ones', 'arr'
+    (arrays[vai] is the mask), or 'gt0' (arrays[vai] > 0). reorder applies
+    the first-appearance permutation argsort(arrays[order_ix][:n_out]) to
+    every column — the per-column slice/cast/compare/argsort chain this
+    replaces was one eager dispatch EACH (~28 ms relay RTT apiece)."""
+    if reorder:
+        order = jnp.argsort(arrays[order_ix][:n_out])
+
+        def take(a):
+            return a[:n_out][order]
+    else:
+        def take(a):
+            return a[:n_out]
+
+    ones = jnp.ones((n_out,), jnp.bool_)
+    outs = []
+    for op, ai, bi, dt, vop, vai in spec:
+        if op == "slice":
+            src = take(arrays[ai])
+            if dt is not None:
+                src = src.astype(dt)
+        else:  # "div"
+            num = take(arrays[ai]).astype(jnp.float64)
+            den = jnp.maximum(take(arrays[bi]), 1).astype(jnp.float64)
+            src = num / den
+            if dt is not None:
+                src = src.astype(dt)
+        if vop == "ones":
+            valid = ones
+        elif vop == "arr":
+            valid = take(arrays[vai])
+        else:  # "gt0"
+            valid = take(arrays[vai]) > 0
+        outs.append(src)
+        outs.append(valid)
+    return tuple(outs)
 
 
 def _resolve_side(ref_index: int, left_width: int):
@@ -493,7 +539,7 @@ def _try_route(executor, op, agg, ordered: bool):
         )
         out = _routed_kernel(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
-            vals, pvalid, dim_sorted, jnp.int64(miss_key),
+            vals, pvalid, dim_sorted, _np.int64(miss_key),
             n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
             dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
             extra_pairs=pairs, extra_packs=packs,
@@ -524,7 +570,7 @@ def _try_route(executor, op, agg, ordered: bool):
             packs = (True,)
         out = _routed_kernel_firstapp(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
-            pairs, dim_sorted, jnp.int64(miss_key),
+            pairs, dim_sorted, _np.int64(miss_key),
             n_groups=n_groups, rid_bits=rid_bits, dense=dense, packs=packs,
         )
         # kernel layout: sums_0, counts, firsts, sums_1…, validity counts…
@@ -556,86 +602,72 @@ def _try_route(executor, op, agg, ordered: bool):
     keys_c, arrays_c, n_alive = _compact_nonempty(
         dim_sorted, tuple(out) + tuple(extras_flat)
     )
-    counts_c = arrays_c[1]
-    expr_sums = {ix: arrays_c[ai] for ix, ai in expr_src.items()}
-    vcnts = {ix: arrays_c[ai] for ix, ai in expr_vcnt.items()}
-    extra_cols_c = [
-        (arrays_c[base_len + 2 * i], arrays_c[base_len + 2 * i + 1])
-        for i in range(len(extra_groups))
+    n_out = int(n_alive)  # the ONLY host sync after the kernel
+
+    # ---- build the output batch in ONE finalize program ------------------
+    # arrays handed to _finalize: (keys_c,) + arrays_c — arrays_c[i] is at
+    # finalize index i+1
+    A = 1
+    gtype = agg.types[0] if agg.types else dim_key_col.type
+    spec: list = [
+        ("slice", 0, -1, numpy_dtype_for(gtype), "ones", -1)
     ]
+    col_types = [gtype]
+    for i, (_, idx) in enumerate(extra_groups):
+        spec.append(
+            ("slice", A + base_len + 2 * i, -1, None,
+             "arr", A + base_len + 2 * i + 1)
+        )
+        col_types.append(dim_b.columns[idx].type)
+    cnt_ai = A + 1
+    for (kind, ix), a in zip(specs, agg.aggregates):
+        rt = a.return_type()
+        dt = numpy_dtype_for(rt)
+        if kind == "sum":
+            vop, vai = (
+                ("gt0", A + expr_vcnt[ix]) if ix in expr_vcnt
+                else ("ones", -1)  # all-NULL group sums to NULL
+            )
+            entry = ("slice", A + expr_src[ix], -1, dt, vop, vai)
+        elif kind == "min":
+            entry = ("slice", A + 2, -1, dt, "ones", -1)
+        elif kind == "max":
+            entry = ("slice", A + 3, -1, dt, "ones", -1)
+        elif kind == "avg":
+            den = A + expr_vcnt[ix] if ix in expr_vcnt else cnt_ai
+            vop, vai = (
+                ("gt0", den) if ix in expr_vcnt else ("ones", -1)
+            )
+            entry = ("div", A + expr_src[ix], den, dt, vop, vai)
+        elif kind == "count_d":
+            entry = ("slice", A + dcnt_ai, -1, dt, "ones", -1)
+        elif kind == "sum_d":
+            entry = ("slice", A + dsum_ai, -1, dt, "ones", -1)
+        elif kind == "avg_d":
+            entry = ("div", A + dsum_ai, A + dcnt_ai, dt, "ones", -1)
+        elif kind == "count" and ix in expr_vcnt:
+            # non-NULL count of a NULL-able expression
+            entry = ("slice", A + expr_vcnt[ix], -1, dt, "ones", -1)
+        else:  # count(all-valid v) / count_star
+            entry = ("slice", cnt_ai, -1, dt, "ones", -1)
+        spec.append(entry)
+        col_types.append(rt)
     if ordered:
-        mins_c = arrays_c[2] if with_minmax else None
-        maxs_c = arrays_c[3] if with_minmax else None
-        dcnt_c = arrays_c[dcnt_ai] if with_distinct else None
-        dsum_c = arrays_c[dsum_ai] if with_distinct else None
+        reorder, order_ix = False, -1
     else:
         # reorder the surviving groups into first-appearance order (the
         # engine's guaranteed group order): fact on the right → min probe
         # (fact) rowid; dim on the right → original dim row position
-        mins_c = maxs_c = dcnt_c = dsum_c = None
-        n_live = int(n_alive)
-        order_src = arrays_c[2] if fact_side == "right" else arrays_c[pos_idx]
-        order = jnp.argsort(order_src[:n_live])
-        keys_c = keys_c[:n_live][order]
-        counts_c = counts_c[:n_live][order]
-        expr_sums = {
-            ix: a[:n_live][order] for ix, a in expr_sums.items()
-        }
-        vcnts = {ix: a[:n_live][order] for ix, a in vcnts.items()}
-        extra_cols_c = [
-            (d[:n_live][order], v[:n_live][order]) for d, v in extra_cols_c
-        ]
-    n_out = int(n_alive)
-
-    # ---- build the output batch (ORDER BY key asc, zero groups dropped) --
-    gtype = agg.types[0] if agg.types else dim_key_col.type
+        reorder = True
+        order_ix = A + 2 if fact_side == "right" else A + pos_idx
+    flat = _finalize(
+        (keys_c,) + tuple(arrays_c), n_out, tuple(spec),
+        reorder=reorder, order_ix=order_ix,
+    )
     cols = [
-        Column(
-            gtype,
-            keys_c[:n_out].astype(numpy_dtype_for(gtype)),
-            jnp.ones((n_out,), jnp.bool_),
-        )
+        Column(t, flat[2 * i], flat[2 * i + 1])
+        for i, t in enumerate(col_types)
     ]
-    for (_, idx), (d, v) in zip(extra_groups, extra_cols_c):
-        ct = dim_b.columns[idx].type
-        cols.append(Column(ct, d[:n_out], v[:n_out]))
-    for (kind, ix), a in zip(specs, agg.aggregates):
-        colvalid = None  # None -> all valid
-        if kind == "sum":
-            src = expr_sums[ix]
-            if ix in vcnts:
-                colvalid = vcnts[ix] > 0  # all-NULL group sums to NULL
-        elif kind == "min":
-            src = mins_c
-        elif kind == "max":
-            src = maxs_c
-        elif kind == "avg":
-            denom = vcnts.get(ix, counts_c)
-            src = expr_sums[ix].astype(jnp.float64) / jnp.maximum(
-                denom, 1
-            ).astype(jnp.float64)
-            if ix in vcnts:
-                colvalid = denom > 0
-        elif kind == "count_d":
-            src = dcnt_c
-        elif kind == "sum_d":
-            src = dsum_c
-        elif kind == "avg_d":
-            src = dsum_c.astype(jnp.float64) / jnp.maximum(
-                dcnt_c, 1
-            ).astype(jnp.float64)
-        elif kind == "count" and ix in vcnts:
-            src = vcnts[ix]  # non-NULL count of a NULL-able expression
-        else:  # count(all-valid v) / count_star
-            src = counts_c
-        rt = a.return_type()
-        cols.append(
-            Column(
-                rt, src[:n_out].astype(numpy_dtype_for(rt)),
-                jnp.ones((n_out,), jnp.bool_) if colvalid is None
-                else colvalid[:n_out],
-            )
-        )
     if hasattr(executor, "db") and executor.db is not None:
         log = getattr(executor.db, "last_fused_routes", None)
         if log is None:
