@@ -168,9 +168,12 @@ def _compact_nonempty(dim_sorted, arrays):
     )
 
 
-@partial(jax.jit, static_argnames=("n_out", "spec", "reorder", "order_ix"))
+@partial(
+    jax.jit,
+    static_argnames=("n_out", "spec", "reorder", "order_ix", "reverse"),
+)
 def _finalize(arrays, n_out: int, spec, reorder: bool = False,
-              order_ix: int = -1):
+              order_ix: int = -1, reverse: bool = False):
     """Emit every output column in ONE program. spec entries are
     (op, ai, bi, dtype, vop, vai): op 'slice' takes arrays[ai], 'div'
     computes float64 arrays[ai]/max(arrays[bi],1); dtype (np.dtype or
@@ -184,6 +187,9 @@ def _finalize(arrays, n_out: int, spec, reorder: bool = False,
 
         def take(a):
             return a[:n_out][order]
+    elif reverse:  # ORDER BY key DESC: ascending kernel output, flipped
+        def take(a):
+            return a[:n_out][::-1]
     else:
         def take(a):
             return a[:n_out]
@@ -226,15 +232,17 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
     db = getattr(executor, "db", None)
     if db is not None and getattr(db, "enable_fused_route", True) is False:
         return None
-    if len(op.items) != 1 or not op.items[0][1]:
+    if len(op.items) != 1:
         return None
-    okey = op.items[0][0]
+    okey, asc = op.items[0]
     if not isinstance(okey, BoundReference) or okey.index != 0:
         return None
     if len(op.children) != 1 or not isinstance(op.children[0], P.PhysicalHashAgg):
         return None
     agg = op.children[0]
-    return _try_route(executor, op, agg, ordered=True)
+    # DESC: the kernel emits ascending key order; finalize reverses — the
+    # direct variant (min/max/DISTINCT included) stays available
+    return _try_route(executor, op, agg, ordered=True, reverse=not asc)
 
 
 def try_agg_join_route(executor, agg: P.PhysicalHashAgg):
@@ -249,7 +257,7 @@ def try_agg_join_route(executor, agg: P.PhysicalHashAgg):
     return _try_route(executor, agg, agg, ordered=False)
 
 
-def _try_route(executor, op, agg, ordered: bool):
+def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
     if not agg.groups or not all(
         isinstance(g, BoundReference) for g in agg.groups
     ):
@@ -662,7 +670,7 @@ def _try_route(executor, op, agg, ordered: bool):
         order_ix = A + 2 if fact_side == "right" else A + pos_idx
     flat = _finalize(
         (keys_c,) + tuple(arrays_c), n_out, tuple(spec),
-        reorder=reorder, order_ix=order_ix,
+        reorder=reorder, order_ix=order_ix, reverse=reverse,
     )
     cols = [
         Column(t, flat[2 * i], flat[2 * i + 1])

@@ -393,16 +393,19 @@ def test_route_multi_value_oracle():
     assert got == exp
 
 
-def test_desc_order_routes_via_firstapp():
-    """ORDER BY key DESC: the ordered route bails, but the bare-HashAgg
-    first-appearance route still fires underneath and the general Order
-    sorts its G-row output."""
+def test_desc_order_routes_direct():
+    """ORDER BY key DESC: the direct route fires (kernel output reversed in
+    the finalize program) — min/max/DISTINCT stay available."""
     db = _mk_db(1000, np.arange(16) + 1, seed=4)
-    sql = ("select d.k, sum(f.v) from f join d on f.k=d.k "
-           "group by d.k order by d.k desc")
-    routed, plain, fired = _both_ways(db, sql)
-    assert any("firstapp" in r for r in fired)
-    assert routed == plain
+    for sql in [
+        "select d.k, sum(f.v) from f join d on f.k=d.k "
+        "group by d.k order by d.k desc",
+        "select d.k, min(f.v), count(distinct f.v) from f join d on f.k=d.k "
+        "group by d.k order by d.k desc",
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert any("order_agg_join_direct" in r for r in fired), (sql, fired)
+        assert routed == plain, sql
 
 
 def test_single_side_on_residual_is_pushed_and_routes():
