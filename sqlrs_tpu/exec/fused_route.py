@@ -30,8 +30,10 @@ Beyond the first (packed) value expression, values ride the variadic sort
 as payloads: negatives are fine there, and each costs only one extra
 (Q,128) payload-row gather. NULL-able value columns sum as masked zeros
 plus a validity payload carrying the per-group non-NULL count (count(v),
-avg denominators, all-NULL-group NULL sums); only min/max require a fully
-valid column (range endpoints cannot skip masked entries). Ineligible plans fall back to the general executors — the route
+avg denominators, all-NULL-group NULL results); a NULL-able PACKED column
+masks NULLs to an above-range sentinel instead, and the kernel subtracts
+their contributions — min/max/DISTINCT over NULL-able measures stay
+routed and exact. Ineligible plans fall back to the general executors — the route
 is a pure optimization, bit-exact where it applies (tests/test_fused_route.py
 differential-checks it against the unfused path).
 """
@@ -111,31 +113,33 @@ def _mask_payloads(pairs, packs):
     jax.jit,
     static_argnames=(
         "n_groups", "val_bits", "pack32", "dense", "with_minmax",
-        "with_distinct", "extra_packs",
+        "with_distinct", "extra_packs", "null_ix",
     ),
 )
 def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
                    n_groups: int, val_bits: int, pack32: bool, dense: bool,
                    with_minmax: bool, with_distinct: bool = False,
-                   extra_pairs=(), extra_packs=()):
+                   extra_pairs=(), extra_packs=(), null_ix: int = -1):
     """Masked fact rows -> out-of-span key, then the direct kernel.
 
     dim_sorted is already sorted so dim_perm is the identity and the output
     arrives in ORDER BY key ascending order directly. fvals_valid (when not
-    None) masks NULL packed values to 0 — sound for sums; min/max callers
-    require an all-valid packed column. extra_pairs are (data, valid|None)
-    payload columns, masked the same way."""
+    None) masks NULL packed values to the SENTINEL 2^val_bits - 1, which
+    sorts them to each range's tail; the kernel subtracts their
+    contributions using the validity payload at extra index null_ix —
+    NULL-able min/max/sum/avg/DISTINCT stay exact. extra_pairs are
+    (data, valid|None) payload columns, NULLs masked to 0 there."""
     from sqlrs_tpu.ops.pipelines import join_groupby_direct
 
     fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
     fv = fvals.astype(jnp.int64)
     if fvals_valid is not None:
-        fv = jnp.where(fvals_valid, fv, 0)
+        fv = jnp.where(fvals_valid, fv, jnp.int64((1 << val_bits) - 1))
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_direct(
         fk, fv, dim_sorted.astype(jnp.int64), perm, n_groups, val_bits, pack32,
         dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
-        extra_vals=_mask_payloads(extra_pairs, extra_packs),
+        extra_vals=_mask_payloads(extra_pairs, extra_packs), null_ix=null_ix,
     )
 
 
@@ -478,10 +482,9 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
             or (lo32 < int(mn) and int(mx) < hi32)
             for mn, mx in zip(vmins, vmaxs)
         ]
-        if packed_need and nullable[next(iter(packed_need))]:
-            # min/max: masked entries cannot be skipped at range endpoints;
-            # DISTINCT: masking NULL to 0 would alias a real 0 value
-            return None
+        # NULL-able min/max/DISTINCT pack too: NULLs mask to an above-range
+        # sentinel and the kernel subtracts their contributions (sentinel
+        # mode, join_groupby_direct null_ix)
     f_kmax = max(f_kmax, d_max)
     f_kmin = min(f_kmin, d_min)
     miss_key = f_kmax + 1  # out of every dim range, incl. the last boundary
@@ -497,11 +500,11 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
         # its prefix sum comes free with the rank rows. Everything else
         # rides as payloads; no packable expression at all is fine too.
         def _bits_ok(k):
-            if nullable[k] and k in distinct_ixs:
-                return None
             vmx = max(int(vmaxs[k]), 0)
             if int(vmins[k]) < 0 and int(vmins[k]) <= int(vmaxs[k]):
                 return None
+            if nullable[k]:
+                vmx += 1  # sentinel mode: every real value < 2^vb - 1
             vb = max(vmx.bit_length(), 1)
             if vb >= 62 or miss_key >= (1 << (62 - vb)) or f_kmin <= -(
                 1 << (62 - vb)
@@ -545,12 +548,17 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
         packs = tuple(fits32[k] for k in extra_ixs) + tuple(
             True for _ in valid_ixs  # 0/1 flags always fit
         )
+        # sentinel mode: the packed column's validity payload position
+        null_ix = (
+            len(extra_ixs) + valid_ixs.index(packed_ix)
+            if pvalid is not None else -1
+        )
         out = _routed_kernel(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
             vals, pvalid, dim_sorted, _np.int64(miss_key),
             n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
             dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
-            extra_pairs=pairs, extra_packs=packs,
+            extra_pairs=pairs, extra_packs=packs, null_ix=null_ix,
         )
         # kernel layout: sums_packed, counts, [mins, maxs,] [dcnt, dsum,]
         # extra sums…, validity counts…
@@ -638,9 +646,17 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
             )
             entry = ("slice", A + expr_src[ix], -1, dt, vop, vai)
         elif kind == "min":
-            entry = ("slice", A + 2, -1, dt, "ones", -1)
+            vop, vai = (
+                ("gt0", A + expr_vcnt[ix]) if ix in expr_vcnt
+                else ("ones", -1)  # all-NULL group: min/max render NULL
+            )
+            entry = ("slice", A + 2, -1, dt, vop, vai)
         elif kind == "max":
-            entry = ("slice", A + 3, -1, dt, "ones", -1)
+            vop, vai = (
+                ("gt0", A + expr_vcnt[ix]) if ix in expr_vcnt
+                else ("ones", -1)
+            )
+            entry = ("slice", A + 3, -1, dt, vop, vai)
         elif kind == "avg":
             den = A + expr_vcnt[ix] if ix in expr_vcnt else cnt_ai
             vop, vai = (
@@ -650,9 +666,17 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
         elif kind == "count_d":
             entry = ("slice", A + dcnt_ai, -1, dt, "ones", -1)
         elif kind == "sum_d":
-            entry = ("slice", A + dsum_ai, -1, dt, "ones", -1)
+            vop, vai = (
+                ("gt0", A + expr_vcnt[ix]) if ix in expr_vcnt
+                else ("ones", -1)  # all-NULL group: NULL distinct sum
+            )
+            entry = ("slice", A + dsum_ai, -1, dt, vop, vai)
         elif kind == "avg_d":
-            entry = ("div", A + dsum_ai, A + dcnt_ai, dt, "ones", -1)
+            vop, vai = (
+                ("gt0", A + expr_vcnt[ix]) if ix in expr_vcnt
+                else ("ones", -1)
+            )
+            entry = ("div", A + dsum_ai, A + dcnt_ai, dt, vop, vai)
         elif kind == "count" and ix in expr_vcnt:
             # non-NULL count of a NULL-able expression
             entry = ("slice", A + expr_vcnt[ix], -1, dt, "ones", -1)

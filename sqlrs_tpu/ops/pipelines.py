@@ -239,13 +239,14 @@ def _sorted_ranks_left(sp2d, queries):
     jax.jit,
     static_argnames=(
         "n_groups", "val_bits", "pack32", "dense", "with_minmax",
-        "with_distinct",
+        "with_distinct", "null_ix",
     ),
 )
 def join_groupby_direct(
     fact_keys, fact_vals, dim_keys_sorted, dim_perm, n_groups: int,
     val_bits: int, pack32: bool, dense: bool = False,
     with_minmax: bool = False, with_distinct: bool = False, extra_vals=(),
+    null_ix: int = -1,
 ):
     """The speed-of-light formulation of fact⋈dim + GROUP BY dim_row for
     unique dim keys: sort + prefix sum + 2G binary searches. No run-boundary
@@ -294,7 +295,15 @@ def join_groupby_direct(
     the first occurrence of every distinct (key, value); prefix sums of
     the flag and of flag*value at the same rank positions give per-group
     COUNT(DISTINCT v) and SUM(DISTINCT v) with no extra sort operand.
-    Appended as (…, dcounts, dsums) right after the minmax outputs."""
+    Appended as (…, dcounts, dsums) right after the minmax outputs.
+
+    null_ix >= 0 enables SENTINEL mode for a NULL-able packed column: the
+    caller masks NULL values to vmask = 2^val_bits - 1 (choosing val_bits
+    so every real value is < vmask), which sorts the NULL block to each
+    range's TAIL, and passes the column's validity as extra_vals[null_ix].
+    Sums subtract nullcnt·vmask, max reads hi-1-nullcnt, min is unchanged,
+    and the distinct count/sum drop the one sentinel entry — NULL-able
+    min/max/avg/DISTINCT all stay exact without a second pass."""
     if pack32:
         packed = (fact_keys.astype(jnp.int32) << val_bits) | fact_vals.astype(
             jnp.int32
@@ -356,8 +365,6 @@ def join_groupby_direct(
         lo, hi = ranks[:g], ranks[g:]
         sum_sorted = prefixes[g:] - prefixes[:g]
     cnt_sorted = (hi - lo).astype(jnp.int64)
-    sums = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
-    counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
     derived = []
     if with_distinct:
         # first-occurrence flags of each distinct (key, value): group
@@ -368,7 +375,7 @@ def join_groupby_direct(
         dval = flag * (sp & vmask).astype(jnp.int64)
         derived = [flag, dval]
     payloads = tuple(derived) + tuple(evs)
-    extra_out = []
+    es_list = []
     if payloads:
         # payload prefix sums at the SAME rank positions: per payload one
         # block-sum pass + one (Q,128) gathered row (Q = G+1 dense / 2G)
@@ -386,18 +393,37 @@ def join_groupby_direct(
                 axis=1, dtype=jnp.int64,
             )
             pr = ebp[jnp.clip(b, 0, nb)] + part
-            es = (pr[1:] - pr[:g]) if dense else (pr[g:] - pr[:g])
-            extra_out.append(
-                jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(es)
-            )
+            es_list.append((pr[1:] - pr[:g]) if dense else (pr[g:] - pr[:g]))
+    nullcnt = None
+    if null_ix >= 0:
+        # sentinel mode: the caller masked NULL packed values to vmask
+        # (real values < vmask), so they sort LAST within each group's
+        # range. The per-group non-NULL count rides as payload null_ix;
+        # every sentinel contribution is removed arithmetically.
+        off = 2 if with_distinct else 0
+        nullcnt = cnt_sorted - es_list[off + null_ix]
+        sum_sorted = sum_sorted - nullcnt * vmask
+        if with_distinct:
+            has_null = (nullcnt > 0).astype(jnp.int64)
+            es_list[0] = es_list[0] - has_null          # distinct count
+            es_list[1] = es_list[1] - has_null * vmask  # distinct sum
+    sums = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
+    counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
+    extra_out = [
+        jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(es)
+        for es in es_list
+    ]
     if with_minmax:
         # the packed sort orders each key's range by VALUE, so per-group
         # min/max are the range's first/last elements: two G-sized random
-        # gathers (group-count-sized access is the design budget). Garbage
-        # for empty ranges — callers drop count==0 groups.
+        # gathers (group-count-sized access is the design budget). In
+        # sentinel mode the NULL block sits at the range's tail, so max
+        # reads position hi-1-nullcnt. Garbage for empty (or all-NULL)
+        # ranges — callers mask those via count/validity-count.
         last = sp.shape[0] - 1
+        hi_eff = hi - 1 if nullcnt is None else hi - 1 - nullcnt
         min_sorted = (sp[jnp.clip(lo, 0, last)] & vmask).astype(jnp.int64)
-        max_sorted = (sp[jnp.clip(hi - 1, 0, last)] & vmask).astype(jnp.int64)
+        max_sorted = (sp[jnp.clip(hi_eff, 0, last)] & vmask).astype(jnp.int64)
         mins = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(min_sorted)
         maxs = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(max_sorted)
         return (sums, counts, mins, maxs, *extra_out)

@@ -286,11 +286,15 @@ def test_route_nullable_value_columns():
     vals = [None if i % 5 == 0 else int(v) for i, v in enumerate(fv)]
     # key 1 (dim[0]) gets ONLY NULL values: its sum/avg must render NULL
     vals = [None if k == dim[0] else v for k, v in zip(fk.tolist(), vals)]
+    # w: non-negative NULL-able — packs in SENTINEL mode (min/max/DISTINCT)
+    fw = rng.integers(0, 15, n)
+    wvals = [None if i % 4 == 0 else int(v) for i, v in enumerate(fw)]
+    wvals = [None if k == dim[0] else v for k, v in zip(fk.tolist(), wvals)]
     db = sqlrs_tpu.Database()
     db.create_memory_table(
         "f", DeviceBatch.from_pydict(
-            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
-            {"k": fk.tolist(), "v": vals}))
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT), ("w", LT.BIGINT)]),
+            {"k": fk.tolist(), "v": vals, "w": wvals}))
     db.create_memory_table(
         "d", DeviceBatch.from_pydict(
             Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
@@ -299,16 +303,20 @@ def test_route_nullable_value_columns():
         "on f.k = d.k group by d.k order by d.k",
         "select d.k, avg(f.v), count(f.v) from f join d on f.k = d.k "
         "group by d.k",
+        # sentinel mode: NULL-able min/max/DISTINCT pack NULLs above the
+        # real range and the kernel subtracts their contributions —
+        # incl. the all-NULL group (key 1) rendering NULL min/max/sums
+        "select d.k, min(f.w), max(f.w), sum(f.w), count(*) from f join d "
+        "on f.k = d.k group by d.k order by d.k",
+        "select d.k, count(distinct f.w), sum(distinct f.w), avg(f.w) "
+        "from f join d on f.k = d.k group by d.k order by d.k",
+        # sentinel-packed w + negative NULL-able payload v together
+        "select d.k, max(f.w), sum(f.v), count(f.v) from f join d "
+        "on f.k = d.k group by d.k order by d.k",
     ]:
         routed, plain, fired = _both_ways(db, sql)
         assert fired, sql
         assert routed == plain, sql
-    # min over a NULL-able column cannot route (packed range endpoints)
-    sql = ("select d.k, min(f.v) from f join d on f.k = d.k "
-           "group by d.k order by d.k")
-    routed, plain, fired = _both_ways(db, sql)
-    assert not fired
-    assert routed == plain
 
 
 def test_route_distinct_aggregates():
