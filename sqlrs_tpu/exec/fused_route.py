@@ -295,7 +295,17 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
     lkey, rkey = join.on[0]
     if not isinstance(lkey, BoundReference) or not isinstance(rkey, BoundReference):
         return None
-    if not (lkey.type.is_integral() and rkey.type.is_integral()):
+    # VARCHAR keys are int32 dictionary codes — equality on codes IS string
+    # equality, so the first-appearance variant routes them (its group
+    # order never depends on code order); the ORDER BY variant would order
+    # by code, not collation, and bails.
+    varchar_key = (
+        lkey.type == LogicalType.VARCHAR and rkey.type == LogicalType.VARCHAR
+    )
+    if varchar_key:
+        if ordered:
+            return None
+    elif not (lkey.type.is_integral() and rkey.type.is_integral()):
         return None
     if lkey.type == LogicalType.INTERVAL or rkey.type == LogicalType.INTERVAL:
         return None

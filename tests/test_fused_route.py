@@ -521,3 +521,33 @@ def test_route_fuzz_differential():
         fired_total += bool(fired)
         assert routed == plain, (case, sql)
     assert fired_total >= 5, f"routes fired in only {fired_total}/10 cases"
+
+
+def test_varchar_key_routes_firstapp():
+    """VARCHAR join keys (int32 dictionary codes) route through the
+    first-appearance variant; the ORDER BY variant bails (code order is
+    not collation order)."""
+    names = ["zeta", "alpha", "mid", "omega", "beta"]
+    facts = ["mid", "zeta", "zeta", "nope", "beta", None, "mid", "alpha"]
+    vals = [1, 2, 3, 4, 5, 6, 7, 8]
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("name", LT.VARCHAR), ("v", LT.BIGINT)]),
+            {"name": facts, "v": vals}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("name", LT.VARCHAR)]), {"name": names}))
+    sql = ("select d.name, sum(f.v), count(*) from f join d "
+           "on f.name = d.name group by d.name")
+    routed, plain, fired = _both_ways(db, sql)
+    assert any("firstapp" in r for r in fired), fired
+    assert routed == plain
+    # explicit oracle: fact on the left -> dim on the right -> group order
+    # follows the dim table's original row order (CLAUDE.md emission order)
+    assert routed == ["zeta 5 2", "alpha 8 1", "mid 8 2", "beta 5 1"]
+    # ORDER BY the varchar key: ordered route must bail, result correct
+    sql2 = sql + " order by d.name"
+    routed2, plain2, fired2 = _both_ways(db, sql2)
+    assert not any("order_agg" in r for r in fired2), fired2
+    assert routed2 == plain2
