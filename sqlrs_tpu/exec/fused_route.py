@@ -93,6 +93,42 @@ def _route_stats(dim_keys, dim_valid, fact_keys, fact_valid, datas, valids):
     return ks, jnp.concatenate(parts)
 
 
+@jax.jit
+def _combine_keys(f1, f1v, f2, f2v, d1, d1v, d2, d2v):
+    """Fold a two-key equi join into one combined int key:
+
+        ck = (k_major - dim_major_min) * span_minor + (k_minor - minor_min)
+
+    computed over the DIM minor span, so ck is injective across majors for
+    in-span minors; fact rows whose minor key falls OUTSIDE the dim minor
+    span would alias a neighbouring major's range and are masked invalid
+    (they cannot match any dim row anyway). Returns (fact_ck, fact_ok,
+    dim_ck, dim_ok, meta[s, mj_min, mn_min, f1_min, f1_max, d1_max]) —
+    meta lets the host guard the packing against int64 overflow and the
+    finalize program decode the combined key back into its two columns.
+    ONE program, one small fetch. Combined asc order IS (major, minor)
+    lexicographic order, so multi-key ORDER BY rides for free."""
+    big = jnp.iinfo(jnp.int64).max
+    d1 = d1.astype(jnp.int64)
+    d2 = d2.astype(jnp.int64)
+    f1 = f1.astype(jnp.int64)
+    f2 = f2.astype(jnp.int64)
+    d12v = d1v & d2v
+    mn_min = jnp.min(jnp.where(d12v, d2, big))
+    mn_max = jnp.max(jnp.where(d12v, d2, -big))
+    mj_min = jnp.min(jnp.where(d12v, d1, big))
+    d1_max = jnp.max(jnp.where(d12v, d1, -big))
+    s = jnp.maximum(mn_max - mn_min + 1, 1)
+    dim_ck = (d1 - mj_min) * s + (d2 - mn_min)
+    in_span = (f2 >= mn_min) & (f2 <= mn_max)
+    fact_ck = (f1 - mj_min) * s + (f2 - mn_min)
+    fact_ok = f1v & f2v & in_span
+    f1_min = jnp.min(jnp.where(fact_ok, f1, big))
+    f1_max = jnp.max(jnp.where(fact_ok, f1, -big))
+    meta = jnp.stack([s, mj_min, mn_min, f1_min, f1_max, d1_max])
+    return fact_ck, fact_ok, dim_ck, d12v, meta
+
+
 def _mask_payloads(pairs, packs):
     """(data, valid|None) pairs -> payload arrays, NULLs as 0 (adds nothing
     to the payload sums; their count rides a validity payload). packs[i]
@@ -205,6 +241,16 @@ def _finalize(arrays, n_out: int, spec, reorder: bool = False,
             src = take(arrays[ai])
             if dt is not None:
                 src = src.astype(dt)
+        elif op in ("majk", "mink"):
+            # composite-key decode: arrays[bi] is the _combine_keys meta
+            # [s_minor, mj_min, mn_min, …]; combined keys are >= 0
+            ck = arrays[bi]
+            if op == "majk":
+                src = take(arrays[ai]) // ck[0] + ck[1]
+            else:
+                src = take(arrays[ai]) % ck[0] + ck[2]
+            if dt is not None:
+                src = src.astype(dt)
         else:  # "div"
             num = take(arrays[ai]).astype(jnp.float64)
             den = jnp.maximum(take(arrays[bi]), 1).astype(jnp.float64)
@@ -236,17 +282,24 @@ def try_order_agg_join_route(executor, op: P.PhysicalOrder):
     db = getattr(executor, "db", None)
     if db is not None and getattr(db, "enable_fused_route", True) is False:
         return None
-    if len(op.items) != 1:
+    if not op.items or len(op.items) > 2:
         return None
-    okey, asc = op.items[0]
-    if not isinstance(okey, BoundReference) or okey.index != 0:
-        return None
+    dirs = {asc for _, asc in op.items}
+    if len(dirs) != 1:
+        return None  # mixed asc/desc cannot ride one packed order
+    for j, (okey, _) in enumerate(op.items):
+        if not isinstance(okey, BoundReference) or okey.index != j:
+            return None
     if len(op.children) != 1 or not isinstance(op.children[0], P.PhysicalHashAgg):
         return None
     agg = op.children[0]
     # DESC: the kernel emits ascending key order; finalize reverses — the
-    # direct variant (min/max/DISTINCT included) stays available
-    return _try_route(executor, op, agg, ordered=True, reverse=not asc)
+    # direct variant (min/max/DISTINCT included) stays available. Two order
+    # keys must be the two columns of a composite join key (checked inside).
+    return _try_route(
+        executor, op, agg, ordered=True, reverse=not dirs.pop(),
+        n_order_keys=len(op.items),
+    )
 
 
 def try_agg_join_route(executor, agg: P.PhysicalHashAgg):
@@ -261,7 +314,8 @@ def try_agg_join_route(executor, agg: P.PhysicalHashAgg):
     return _try_route(executor, agg, agg, ordered=False)
 
 
-def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
+def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
+               n_order_keys: int = 1):
     if not agg.groups or not all(
         isinstance(g, BoundReference) for g in agg.groups
     ):
@@ -287,39 +341,73 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
         return remap[i] if remap is not None else i
     if (
         join.join_type != "inner"
-        or len(join.on) != 1
+        or len(join.on) not in (1, 2)
         or join.filter is not None
         or getattr(join, "null_aware", False)
     ):
         return None
-    lkey, rkey = join.on[0]
-    if not isinstance(lkey, BoundReference) or not isinstance(rkey, BoundReference):
-        return None
-    # VARCHAR keys are int32 dictionary codes — equality on codes IS string
-    # equality, so the first-appearance variant routes them (its group
-    # order never depends on code order); the ORDER BY variant would order
-    # by code, not collation, and bails.
-    varchar_key = (
-        lkey.type == LogicalType.VARCHAR and rkey.type == LogicalType.VARCHAR
-    )
-    if varchar_key:
-        if ordered:
+    composite = len(join.on) == 2
+    for lk, rk in join.on:
+        if not isinstance(lk, BoundReference) or not isinstance(rk, BoundReference):
             return None
-    elif not (lkey.type.is_integral() and rkey.type.is_integral()):
-        return None
-    if lkey.type == LogicalType.INTERVAL or rkey.type == LogicalType.INTERVAL:
-        return None
     lw = join.left_width
-    gside, gidx = _resolve_side(_map(agg.groups[0].index), lw)
-    # the FIRST group column must BE the join key column of its side; any
-    # further group columns must be DIM-side attributes — with unique dim
-    # keys they are functionally dependent on the key, so they refine
-    # nothing and are emitted via G-sized gathers
-    if gidx != (lkey.index if gside == "left" else rkey.index):
-        return None
-    extra_groups: list[tuple[str, int]] = []  # (side, in-side index)
-    for g in agg.groups[1:]:
-        extra_groups.append(_resolve_side(_map(g.index), lw))
+    if composite:
+        # two-key equi join: both keys int; the first TWO group columns
+        # must be the two key columns of one side (groups[0] = the major
+        # key — its order dominates the combined packing)
+        if ordered and n_order_keys != 2:
+            return None  # ORDER BY one of two keys under-specifies ties
+        for lk, rk in join.on:
+            for k in (lk, rk):
+                if not k.type.is_integral() or k.type == LogicalType.INTERVAL:
+                    return None
+        if len(agg.groups) < 2:
+            return None
+        g0s, g0i = _resolve_side(_map(agg.groups[0].index), lw)
+        g1s, g1i = _resolve_side(_map(agg.groups[1].index), lw)
+        if g0s != g1s or g0i == g1i:
+            return None
+        (l1, r1), (l2, r2) = join.on
+        side_keys = (
+            (l1.index, l2.index) if g0s == "left" else (r1.index, r2.index)
+        )
+        if {g0i, g1i} != set(side_keys):
+            return None
+        maj_pair = 0 if g0i == side_keys[0] else 1
+        gside = g0s
+        extra_groups: list[tuple[str, int]] = []  # (side, in-side index)
+        for g in agg.groups[2:]:
+            extra_groups.append(_resolve_side(_map(g.index), lw))
+        varchar_key = False
+    else:
+        if ordered and n_order_keys != 1:
+            return None
+        lkey, rkey = join.on[0]
+        # VARCHAR keys are int32 dictionary codes — equality on codes IS
+        # string equality, so the first-appearance variant routes them (its
+        # group order never depends on code order); the ORDER BY variant
+        # would order by code, not collation, and bails.
+        varchar_key = (
+            lkey.type == LogicalType.VARCHAR
+            and rkey.type == LogicalType.VARCHAR
+        )
+        if varchar_key:
+            if ordered:
+                return None
+        elif not (lkey.type.is_integral() and rkey.type.is_integral()):
+            return None
+        if lkey.type == LogicalType.INTERVAL or rkey.type == LogicalType.INTERVAL:
+            return None
+        gside, gidx = _resolve_side(_map(agg.groups[0].index), lw)
+        # the FIRST group column must BE the join key column of its side;
+        # any further group columns must be DIM-side attributes — with
+        # unique dim keys they are functionally dependent on the key, so
+        # they refine nothing and are emitted via G-sized gathers
+        if gidx != (lkey.index if gside == "left" else rkey.index):
+            return None
+        extra_groups = []
+        for g in agg.groups[1:]:
+            extra_groups.append(_resolve_side(_map(g.index), lw))
 
     # aggregates: sum/count/min/max/avg over ANY number of distinct value
     # expressions whose column references all live on the side opposite the
@@ -426,8 +514,39 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
     if n_groups == 0 or n_fact == 0 or n_groups > n_fact:
         return None  # empty inputs / dim larger than fact: general path
 
-    dim_key_col = dim_b.columns[rkey.index if dim_side == "right" else lkey.index]
-    fact_key_col = fact_b.columns[lkey.index if fact_side == "left" else rkey.index]
+    ck_meta_dev = None
+    if composite:
+        # fold the two keys into one combined int key (ONE program + one
+        # small fetch); everything downstream runs the single-key machinery
+        def _side_col(b, side, pair_ix):
+            lk, rk = join.on[pair_ix]
+            return b.columns[(lk if side == "left" else rk).index]
+
+        d1c = _side_col(dim_b, dim_side, maj_pair)
+        d2c = _side_col(dim_b, dim_side, 1 - maj_pair)
+        f1c = _side_col(fact_b, fact_side, maj_pair)
+        f2c = _side_col(fact_b, fact_side, 1 - maj_pair)
+        fact_ck, fact_ok, dim_ck, dim_ok, ck_meta_dev = _combine_keys(
+            f1c.data, f1c.valid, f2c.data, f2c.valid,
+            d1c.data, d1c.valid, d2c.data, d2c.valid,
+        )
+        ckm = _np.asarray(ck_meta_dev)
+        s_minor, mj_min = int(ckm[0]), int(ckm[1])
+        f1_min, f1_max, d1_max = int(ckm[3]), int(ckm[4]), int(ckm[5])
+        # int64 overflow guard on (k_major - mj_min) * s_minor
+        span = max(abs(f1_max - mj_min) + 1, abs(f1_min - mj_min) + 1,
+                   abs(d1_max - mj_min) + 1)
+        if s_minor <= 0 or span >= (1 << 61) // max(s_minor, 1):
+            return None
+        dim_key_col = Column(LogicalType.BIGINT, dim_ck, dim_ok)
+        fact_key_col = Column(LogicalType.BIGINT, fact_ck, fact_ok)
+    else:
+        dim_key_col = dim_b.columns[
+            rkey.index if dim_side == "right" else lkey.index
+        ]
+        fact_key_col = fact_b.columns[
+            lkey.index if fact_side == "left" else rkey.index
+        ]
     # materialize every distinct value expression over the fact batch:
     # direct column refs are free; everything else runs in ONE fused program
     val_cols: list = [None] * len(val_exprs)
@@ -634,11 +753,23 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
     # arrays handed to _finalize: (keys_c,) + arrays_c — arrays_c[i] is at
     # finalize index i+1
     A = 1
-    gtype = agg.types[0] if agg.types else dim_key_col.type
-    spec: list = [
-        ("slice", 0, -1, numpy_dtype_for(gtype), "ones", -1)
-    ]
-    col_types = [gtype]
+    if composite:
+        # decode the combined key back into its two columns inside the
+        # finalize program (ck meta rides as the LAST finalize array)
+        ck_ix = A + len(arrays_c)
+        t0 = agg.types[0] if agg.types else LogicalType.BIGINT
+        t1 = agg.types[1] if len(agg.types) > 1 else LogicalType.BIGINT
+        spec: list = [
+            ("majk", 0, ck_ix, numpy_dtype_for(t0), "ones", -1),
+            ("mink", 0, ck_ix, numpy_dtype_for(t1), "ones", -1),
+        ]
+        col_types = [t0, t1]
+    else:
+        gtype = agg.types[0] if agg.types else dim_key_col.type
+        spec = [
+            ("slice", 0, -1, numpy_dtype_for(gtype), "ones", -1)
+        ]
+        col_types = [gtype]
     for i, (_, idx) in enumerate(extra_groups):
         spec.append(
             ("slice", A + base_len + 2 * i, -1, None,
@@ -702,8 +833,11 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
         # (fact) rowid; dim on the right → original dim row position
         reorder = True
         order_ix = A + 2 if fact_side == "right" else A + pos_idx
+    fin_arrays = (keys_c,) + tuple(arrays_c)
+    if composite:
+        fin_arrays = fin_arrays + (ck_meta_dev,)
     flat = _finalize(
-        (keys_c,) + tuple(arrays_c), n_out, tuple(spec),
+        fin_arrays, n_out, tuple(spec),
         reorder=reorder, order_ix=order_ix, reverse=reverse,
     )
     cols = [
@@ -718,6 +852,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False):
         log.append(
             ("order_agg_join_direct" if ordered else "agg_join_firstapp")
             + ("_dense" if dense else "")
+            + ("_ck2" if composite else "")
         )
     cache.pop(id(join.children[0]), None)  # consumed — don't leak into a
     cache.pop(id(join.children[1]), None)  # later executor walk

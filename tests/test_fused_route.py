@@ -551,3 +551,83 @@ def test_varchar_key_routes_firstapp():
     routed2, plain2, fired2 = _both_ways(db, sql2)
     assert not any("order_agg" in r for r in fired2), fired2
     assert routed2 == plain2
+
+
+def test_composite_key_routes():
+    """Two-key equi joins fold into one combined key (_combine_keys) and
+    ride the single-key machinery; ORDER BY (k1, k2) asc/desc IS combined
+    order; out-of-span minor keys and NULL keys are misses."""
+    rng = np.random.default_rng(55)
+    k1 = np.repeat(np.arange(6, dtype=np.int64) * 3 + 10, 4)
+    k2 = np.tile(np.array([2, 5, 7, 11], dtype=np.int64), 6)
+    n = 4000
+    pick = rng.integers(0, len(k1), n)
+    fk1 = k1[pick].copy()
+    fk2 = k2[pick].copy()
+    fk1[::9] = 999          # major miss
+    fk2[::7] = 100          # minor OUT OF dim span (would alias if unmasked)
+    fk2[3::13] = 6          # minor in-span but not a dim value
+    fv = rng.integers(0, 50, n).astype(np.int64)
+    k1l = fk1.tolist()
+    k1l[5] = None           # NULL major key
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("a", LT.BIGINT), ("b", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"a": k1l, "b": fk2.tolist(), "v": fv.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("a", LT.BIGINT), ("b", LT.BIGINT)]),
+            {"a": k1.tolist(), "b": k2.tolist()}))
+    base = "from f join d on f.a = d.a and f.b = d.b group by d.a, d.b"
+    for sql, expect in [
+        (f"select d.a, d.b, sum(f.v), count(*) {base} order by d.a, d.b",
+         "order_agg_join_direct"),
+        (f"select d.a, d.b, min(f.v), max(f.v), count(distinct f.v) {base} "
+         "order by d.a, d.b", "order_agg_join_direct"),
+        (f"select d.a, d.b, sum(f.v) {base} order by d.a desc, d.b desc",
+         "order_agg_join_direct"),
+        (f"select d.a, d.b, sum(f.v), avg(f.v) {base}", "agg_join_firstapp"),
+        # group by the FACT side's key columns
+        ("select f.a, f.b, count(*) from f join d on f.a = d.a and "
+         "f.b = d.b group by f.a, f.b order by f.a, f.b",
+         "order_agg_join_direct"),
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert any(expect in r and "_ck2" in r for r in fired), (sql, fired)
+        assert routed == plain, sql
+    # numpy oracle for the first query
+    db.last_fused_routes = []
+    got = db.run_lines(f"select d.a, d.b, sum(f.v), count(*) {base} "
+                       "order by d.a, d.b")
+    assert db.last_fused_routes
+    valid = np.ones(n, bool)
+    valid[5] = False
+    exp = {}
+    dimset = set(zip(k1.tolist(), k2.tolist()))
+    for i in range(n):
+        if not valid[i]:
+            continue
+        kk = (int(fk1[i]), int(fk2[i]))
+        if kk in dimset:
+            s, c = exp.get(kk, (0, 0))
+            exp[kk] = (s + int(fv[i]), c + 1)
+    assert got == [f"{a} {b} {s} {c}"
+                   for (a, b), (s, c) in sorted(exp.items())]
+    # ORDER BY one key / mixed directions: the ORDERED route must bail
+    # (ties/order under-specified for the packed order) — the firstapp
+    # route may still fire under the general Order, which sorts the G-row
+    # output; results stay bit-exact either way
+    for sql in [
+        f"select d.a, d.b, sum(f.v) {base} order by d.a",
+        f"select d.a, d.b, sum(f.v) {base} order by d.a, d.b desc",
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert not any("order_agg" in r for r in fired), (sql, fired)
+        assert routed == plain, sql
+    # group col that is not both key columns: no route at all
+    sql = ("select d.a, count(*) from f join d on f.a = d.a and f.b = d.b "
+           "group by d.a")
+    routed, plain, fired = _both_ways(db, sql)
+    assert not fired, (sql, fired)
+    assert routed == plain, sql
