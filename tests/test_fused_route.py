@@ -631,3 +631,39 @@ def test_composite_key_routes():
     routed, plain, fired = _both_ways(db, sql)
     assert not fired, (sql, fired)
     assert routed == plain, sql
+
+
+def test_composite_key_fuzz():
+    """Seeded random composite-key rollups vs the general path."""
+    for seed in range(300, 306):
+        rng = np.random.default_rng(seed)
+        g1, g2 = int(rng.integers(2, 8)), int(rng.integers(2, 8))
+        k1 = np.repeat(np.arange(g1, dtype=np.int64) * int(rng.integers(1, 5))
+                       + int(rng.integers(-9, 9)), g2)
+        k2 = np.tile(np.cumsum(rng.integers(1, 4, g2)).astype(np.int64), g1)
+        n = int(rng.integers(200, 1200))
+        pick = rng.integers(0, len(k1), n)
+        fk1, fk2 = k1[pick].copy(), k2[pick].copy()
+        fk1[:: int(rng.integers(5, 11))] = k1.max() + 2
+        fk2[:: int(rng.integers(6, 13))] = k2.max() + 7  # out-of-span minors
+        fv = rng.integers(-40, 90, n).astype(np.int64)
+        db = sqlrs_tpu.Database()
+        db.create_memory_table(
+            "f", DeviceBatch.from_pydict(
+                Schema.of([("a", LT.BIGINT), ("b", LT.BIGINT),
+                           ("v", LT.BIGINT)]),
+                {"a": fk1.tolist(), "b": fk2.tolist(), "v": fv.tolist()}))
+        db.create_memory_table(
+            "d", DeviceBatch.from_pydict(
+                Schema.of([("a", LT.BIGINT), ("b", LT.BIGINT)]),
+                {"a": k1.tolist(), "b": k2.tolist()}))
+        aggs = rng.choice(
+            ["sum(f.v)", "count(*)", "avg(f.v)", "count(f.v)"],
+            int(rng.integers(1, 4)), replace=False)
+        order = ["", " order by d.a, d.b",
+                 " order by d.a desc, d.b desc"][int(rng.integers(0, 3))]
+        sql = (f"select d.a, d.b, {', '.join(aggs)} from f join d "
+               f"on f.a = d.a and f.b = d.b group by d.a, d.b{order}")
+        routed, plain, fired = _both_ways(db, sql)
+        assert fired, (seed, sql)
+        assert routed == plain, (seed, sql)
