@@ -268,6 +268,14 @@ def _finalize(arrays, n_out: int, spec, reorder: bool = False,
     return tuple(outs)
 
 
+def _routable_key_type(t) -> bool:
+    """Join-key types the packed kernels handle: ints and DATE (stored as
+    int32 days — equality and ORDER BY on day ints are exact)."""
+    return (t.is_integral() and t != LogicalType.INTERVAL) or (
+        t == LogicalType.DATE
+    )
+
+
 def _resolve_side(ref_index: int, left_width: int):
     """join-output column index -> (side, in-side index)."""
     if ref_index < left_width:
@@ -359,7 +367,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
             return None  # ORDER BY one of two keys under-specifies ties
         for lk, rk in join.on:
             for k in (lk, rk):
-                if not k.type.is_integral() or k.type == LogicalType.INTERVAL:
+                if not _routable_key_type(k.type):
                     return None
         if len(agg.groups) < 2:
             return None
@@ -394,9 +402,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
         if varchar_key:
             if ordered:
                 return None
-        elif not (lkey.type.is_integral() and rkey.type.is_integral()):
-            return None
-        if lkey.type == LogicalType.INTERVAL or rkey.type == LogicalType.INTERVAL:
+        elif not (_routable_key_type(lkey.type) and _routable_key_type(rkey.type)):
             return None
         gside, gidx = _resolve_side(_map(agg.groups[0].index), lw)
         # the FIRST group column must BE the join key column of its side;

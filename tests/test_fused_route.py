@@ -667,3 +667,27 @@ def test_composite_key_fuzz():
         routed, plain, fired = _both_ways(db, sql)
         assert fired, (seed, sql)
         assert routed == plain, (seed, sql)
+
+
+def test_date_key_routes():
+    """DATE join keys (int32 days) route in both variants; day-int order IS
+    date order, so ORDER BY the date key stays on the direct kernel."""
+    db = sqlrs_tpu.Database()
+    db.run("create table f(dt date, v int)")
+    db.run("insert into f values (date '2024-01-01', 3), "
+           "(date '2024-01-02', 5), (date '2024-01-01', 7), "
+           "(date '2030-05-05', 9), (null, 11)")
+    db.run("create table d(dt date)")
+    db.run("insert into d values (date '2024-01-01'), (date '2024-01-02'), "
+           "(date '2024-01-03')")
+    for sql, tag in [
+        ("select d.dt, sum(f.v), count(*) from f join d on f.dt = d.dt "
+         "group by d.dt order by d.dt", "order_agg_join_direct"),
+        ("select d.dt, min(f.v), max(f.v) from f join d on f.dt = d.dt "
+         "group by d.dt order by d.dt desc", "order_agg_join_direct"),
+        ("select d.dt, avg(f.v) from f join d on f.dt = d.dt group by d.dt",
+         "agg_join_firstapp"),
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert any(tag in r for r in fired), (sql, fired)
+        assert routed == plain, sql
