@@ -4,9 +4,10 @@ Each pipeline is ONE jit program: scan → probe → aggregate with no host
 round-trips, so a query is a handful of XLA executions rather than hundreds
 of small dispatches. These back `bench.py`, `__graft_entry__.py`, and the
 kernel benchmarks; the general SQL executor uses the same building blocks
-(ops/join.py pair generation, ops/grouped_agg.py sorted runs) but does NOT
-route whole queries here — fusing HashAgg-over-HashJoin plans into these
-pipelines is future work.
+(ops/join.py pair generation, ops/grouped_agg.py sorted runs), and
+`exec/fused_route.py` routes whole star-rollup SQL plans
+(HashAgg-over-HashJoin, ± ORDER BY) onto join_groupby_direct /
+join_groupby_firstapp directly.
 """
 
 from __future__ import annotations
