@@ -51,15 +51,20 @@ def main(argv=None) -> None:
     fk = dim_keys[gid]
     fv = rng.integers(0, 100, n).astype(np.int64)
     fw = rng.integers(-50, 50, n).astype(np.int64)  # payload-only (negative)
+    fx = rng.uniform(900.0, 105000.0, n)            # TPC-H-like DOUBLEs
+    fdisc = rng.uniform(0.0, 0.1, n)
 
     db = sqlrs_tpu.Database()
-    fschema = Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT), ("w", LT.BIGINT)])
+    fschema = Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT), ("w", LT.BIGINT),
+                         ("x", LT.DOUBLE), ("disc", LT.DOUBLE)])
     db.create_memory_table(
         "f",
         DeviceBatch(
             fschema,
             [Column.from_numpy(LT.BIGINT, fk), Column.from_numpy(LT.BIGINT, fv),
-             Column.from_numpy(LT.BIGINT, fw)],
+             Column.from_numpy(LT.BIGINT, fw),
+             Column.from_numpy(LT.DOUBLE, fx),
+             Column.from_numpy(LT.DOUBLE, fdisc)],
             n,
         ),
     )
@@ -117,6 +122,39 @@ def main(argv=None) -> None:
     db.enable_fused_route = True
     assert om_r == om_p, "multi-agg routed result differs"
 
+    # Q3-shaped DOUBLE rollup: a float expression of fact columns rides the
+    # variadic sort as a payload; ORDER BY the measure (not the key) lands
+    # on the first-appearance variant + a G-sized general sort on top
+    float_sql = (
+        "select d.k, sum(f.x * (1 - f.disc)) as revenue, count(*) "
+        "from f join d on f.k = d.k group by d.k "
+        "order by revenue desc limit 10"
+    )
+
+    def run_float(enabled: bool):
+        db.enable_fused_route = enabled
+        db.last_fused_routes = []
+        db.run_lines(float_sql)
+        routes_f = list(db.last_fused_routes)
+        times = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            out = db.run_lines(float_sql)
+            times.append(time.perf_counter() - t0)
+        return min(times), out, routes_f
+
+    tf_r, of_r, f_routes = run_float(True)
+    assert any("firstapp" in r for r in f_routes), f_routes
+    tf_p, of_p, _ = run_float(False)
+    db.enable_fused_route = True
+    # float sums are XLA-reduction-ordered: compare with tolerance
+    assert len(of_r) == len(of_p)
+    for lr, lp in zip(of_r, of_p):
+        kr, sr, cr = lr.split()
+        kp, sp, cp = lp.split()
+        assert kr == kp and cr == cp, (lr, lp)
+        assert abs(float(sr) - float(sp)) <= 1e-9 * max(abs(float(sp)), 1)
+
     print(json.dumps({
         "metric": "sql_star_rollup_rows_per_sec",
         "value": round(n / t_routed),
@@ -134,6 +172,12 @@ def main(argv=None) -> None:
             "multi6_rows_per_sec": round(n / tm_r),
             "multi6_aggs": "sum/min/max(v), sum(w<0 ok), "
                            "count(distinct v), count(*)",
+            "float_q3_routed_s": round(tf_r, 4),
+            "float_q3_general_s": round(tf_p, 4),
+            "float_q3_speedup": round(tf_p / tf_r, 2),
+            "float_q3_rows_per_sec": round(n / tf_r),
+            "float_q3_shape": "sum(x*(1-disc)) DOUBLE, order by measure "
+                              "desc limit 10 (firstapp route + G-sized sort)",
         },
     }))
 

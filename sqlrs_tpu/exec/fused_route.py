@@ -26,6 +26,15 @@ on one side — at most one of them under min/max) and dynamically from ONE
 tiny device program (dim keys unique + spans + value ranges + validity,
 fetched as a single meta vector). A routed query is 5 dispatches end to
 end: stats, kernel, compaction, finalize, render-slice.
+FLOAT/DOUBLE measures ride the variadic sort as payloads and accumulate
+float64 — this is what lets real TPC-H rollups route (every TPC-H measure
+is DOUBLE; Q3's sum(l_extendedprice*(1-l_discount)) fires the
+first-appearance variant, with the general ORDER BY running over the
+G-sized result). The join key may sit at ANY position in the GROUP BY
+list (Q18 lists dim attributes before o_orderkey); output columns follow
+the GROUP BY order. Join CHAINS route too: the dim side executes through
+the normal executor first (Q3's orders⋈customer subtree), so only the TOP
+join must match the star shape.
 Beyond the first (packed) value expression, values ride the variadic sort
 as payloads: negatives are fine there, and each costs only one extra
 (Q,128) payload-row gather. NULL-able value columns sum as masked zeros
@@ -86,10 +95,19 @@ def _route_stats(dim_keys, dim_valid, fact_keys, fact_valid, datas, valids):
     big = jnp.iinfo(jnp.int64).max
     for v in valids:
         parts.append(jnp.all(v).astype(jnp.int64)[None])
+    # float value columns never pack into the sort key (they ride as
+    # payloads), so their min/max are irrelevant — emit placeholder zeros
+    # rather than casting ±inf-masked floats to int64
     for d, v in zip(datas, valids):
-        parts.append(jnp.min(jnp.where(v, d.astype(jnp.int64), big))[None])
+        if jnp.issubdtype(d.dtype, jnp.floating):
+            parts.append(jnp.zeros((1,), jnp.int64))
+        else:
+            parts.append(jnp.min(jnp.where(v, d.astype(jnp.int64), big))[None])
     for d, v in zip(datas, valids):
-        parts.append(jnp.max(jnp.where(v, d.astype(jnp.int64), -big))[None])
+        if jnp.issubdtype(d.dtype, jnp.floating):
+            parts.append(jnp.zeros((1,), jnp.int64))
+        else:
+            parts.append(jnp.max(jnp.where(v, d.astype(jnp.int64), -big))[None])
     return ks, jnp.concatenate(parts)
 
 
@@ -134,9 +152,17 @@ def _mask_payloads(pairs, packs):
     to the payload sums; their count rides a validity payload). packs[i]
     selects int32 (range-checked by the caller — the sort is HBM-bound, so
     narrower payloads are proportionally cheaper); cast precedes masking so
-    wrapped garbage in NULL slots is zeroed."""
+    wrapped garbage in NULL slots is zeroed. FLOAT/DOUBLE payloads keep
+    their own width through the sort (f32 rides at half traffic) and
+    accumulate float64 inside the kernels."""
     out = []
     for (d, v), p32 in zip(pairs, packs):
+        if jnp.issubdtype(d.dtype, jnp.floating):
+            x = d
+            if v is not None:
+                x = jnp.where(v, x, jnp.zeros((), d.dtype))
+            out.append(x)
+            continue
         dt = jnp.int32 if p32 else jnp.int64
         x = d.astype(dt)
         if v is not None:
@@ -382,10 +408,11 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
         if {g0i, g1i} != set(side_keys):
             return None
         maj_pair = 0 if g0i == side_keys[0] else 1
-        gside = g0s
-        extra_groups: list[tuple[str, int]] = []  # (side, in-side index)
-        for g in agg.groups[2:]:
-            extra_groups.append(_resolve_side(_map(g.index), lw))
+        key_positions = [0, 1]
+        # (side, in-side index, position among agg.groups)
+        extra_groups: list[tuple[str, int, int]] = []
+        for gpos, g in enumerate(agg.groups[2:], start=2):
+            extra_groups.append((*_resolve_side(_map(g.index), lw), gpos))
         varchar_key = False
     else:
         if ordered and n_order_keys != 1:
@@ -404,16 +431,24 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
                 return None
         elif not (_routable_key_type(lkey.type) and _routable_key_type(rkey.type)):
             return None
-        gside, gidx = _resolve_side(_map(agg.groups[0].index), lw)
-        # the FIRST group column must BE the join key column of its side;
-        # any further group columns must be DIM-side attributes — with
+        # SOME group column must BE the join key column of its side (any
+        # position — Q18-class rollups list dim attributes before the key);
+        # every other group column must be a DIM-side attribute — with
         # unique dim keys they are functionally dependent on the key, so
         # they refine nothing and are emitted via G-sized gathers
-        if gidx != (lkey.index if gside == "left" else rkey.index):
-            return None
+        key_positions = []
         extra_groups = []
-        for g in agg.groups[1:]:
-            extra_groups.append(_resolve_side(_map(g.index), lw))
+        for gpos, g in enumerate(agg.groups):
+            side, idx = _resolve_side(_map(g.index), lw)
+            if idx == (lkey.index if side == "left" else rkey.index):
+                key_positions.append(gpos)
+            else:
+                extra_groups.append((side, idx, gpos))
+        if not key_positions:
+            return None
+        if ordered and key_positions[0] != 0:
+            # the ORDER BY references output column 0, which must be the key
+            return None
 
     # aggregates: sum/count/min/max/avg over ANY number of distinct value
     # expressions whose column references all live on the side opposite the
@@ -446,7 +481,14 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
         if a.function_name not in ("sum", "count", "min", "max", "avg"):
             return None
         rt_arg = a.arg.return_type()
-        if not rt_arg.is_integral() or rt_arg in (
+        if rt_arg.is_float():
+            # FLOAT/DOUBLE measures ride the variadic sort as payloads
+            # unchanged (payload sums need no ordering) and accumulate
+            # float64 — this is what lets real TPC-H rollups route (every
+            # TPC-H measure is DOUBLE). They cannot pack into the sort key,
+            # so min/max/DISTINCT over floats fall back (checked below).
+            pass
+        elif not rt_arg.is_integral() or rt_arg in (
             LogicalType.DATE, LogicalType.INTERVAL
         ):
             return None
@@ -488,6 +530,9 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
     packed_need = minmax_ixs | distinct_ixs
     if len(packed_need) > 1:
         return None
+    expr_float = [e.return_type().is_float() for e in val_exprs]
+    if packed_need and expr_float[next(iter(packed_need))]:
+        return None  # min/max/DISTINCT need key-packing; floats are payloads
 
     # ---- execute children (normal recursion; scans/filters run as usual) --
     # stash the batches in the executor's one-shot cache so a later bail
@@ -512,7 +557,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
     else:
         dim_side = "right"
     fact_side = "left" if dim_side == "right" else "right"
-    if any(side != dim_side for side, _ in extra_groups):
+    if any(side != dim_side for side, _, _ in extra_groups):
         return None  # non-key group columns must be dim attributes
     dim_b, fact_b = sides[dim_side], sides[fact_side]
     n_groups = dim_b.num_rows
@@ -613,9 +658,11 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
         nullable = [not bool(f) for f in flags]
         lo32, hi32 = -(1 << 31), (1 << 31) - 1
         fits32 = [
-            int(mn) > int(mx)  # no valid rows: masked zeros
-            or (lo32 < int(mn) and int(mx) < hi32)
-            for mn, mx in zip(vmins, vmaxs)
+            not expr_float[k] and (
+                int(mn) > int(mx)  # no valid rows: masked zeros
+                or (lo32 < int(mn) and int(mx) < hi32)
+            )
+            for k, (mn, mx) in enumerate(zip(vmins, vmaxs))
         ]
         # NULL-able min/max/DISTINCT pack too: NULLs mask to an above-range
         # sentinel and the kernel subtracts their contributions (sentinel
@@ -635,6 +682,8 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
         # its prefix sum comes free with the rank rows. Everything else
         # rides as payloads; no packable expression at all is fine too.
         def _bits_ok(k):
+            if expr_float[k]:
+                return None  # floats never pack; they ride as payloads
             vmx = max(int(vmaxs[k]), 0)
             if int(vmins[k]) < 0 and int(vmins[k]) <= int(vmaxs[k]):
                 return None
@@ -738,7 +787,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
     sperm = (
         jnp.argsort(dim_key_col.data.astype(jnp.int64)) if need_sperm else None
     )
-    for _, idx in extra_groups:
+    for _, idx, _ in extra_groups:
         c = dim_b.columns[idx]
         extras_flat.append(c.data[sperm])
         extras_flat.append(c.valid[sperm])
@@ -759,29 +808,46 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
     # arrays handed to _finalize: (keys_c,) + arrays_c — arrays_c[i] is at
     # finalize index i+1
     A = 1
+    # group output columns follow agg.groups order: key positions slice (or
+    # composite-decode) the kernel key, every other position gathers its
+    # compacted dim-attribute array
+    extra_entry = {}
+    for i, (_, idx, gpos) in enumerate(extra_groups):
+        extra_entry[gpos] = (
+            ("slice", A + base_len + 2 * i, -1, None,
+             "arr", A + base_len + 2 * i + 1),
+            dim_b.columns[idx].type,
+        )
+    spec: list = []
+    col_types: list = []
     if composite:
         # decode the combined key back into its two columns inside the
         # finalize program (ck meta rides as the LAST finalize array)
         ck_ix = A + len(arrays_c)
         t0 = agg.types[0] if agg.types else LogicalType.BIGINT
         t1 = agg.types[1] if len(agg.types) > 1 else LogicalType.BIGINT
-        spec: list = [
-            ("majk", 0, ck_ix, numpy_dtype_for(t0), "ones", -1),
-            ("mink", 0, ck_ix, numpy_dtype_for(t1), "ones", -1),
-        ]
-        col_types = [t0, t1]
+        spec.append(("majk", 0, ck_ix, numpy_dtype_for(t0), "ones", -1))
+        spec.append(("mink", 0, ck_ix, numpy_dtype_for(t1), "ones", -1))
+        col_types.extend([t0, t1])
+        for gpos in range(2, len(agg.groups)):
+            e, t = extra_entry[gpos]
+            spec.append(e)
+            col_types.append(t)
     else:
-        gtype = agg.types[0] if agg.types else dim_key_col.type
-        spec = [
-            ("slice", 0, -1, numpy_dtype_for(gtype), "ones", -1)
-        ]
-        col_types = [gtype]
-    for i, (_, idx) in enumerate(extra_groups):
-        spec.append(
-            ("slice", A + base_len + 2 * i, -1, None,
-             "arr", A + base_len + 2 * i + 1)
-        )
-        col_types.append(dim_b.columns[idx].type)
+        for gpos in range(len(agg.groups)):
+            if gpos in extra_entry:
+                e, t = extra_entry[gpos]
+                spec.append(e)
+                col_types.append(t)
+            else:  # a key position (the key may repeat among the groups)
+                gtype = (
+                    agg.types[gpos] if gpos < len(agg.types)
+                    else dim_key_col.type
+                )
+                spec.append(
+                    ("slice", 0, -1, numpy_dtype_for(gtype), "ones", -1)
+                )
+                col_types.append(gtype)
     cnt_ai = A + 1
     for (kind, ix), a in zip(specs, agg.aggregates):
         rt = a.return_type()

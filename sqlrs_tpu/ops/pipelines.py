@@ -283,12 +283,15 @@ def join_groupby_direct(
     never count them; in-span misses cannot exist when the dim domain is
     dense.
 
-    extra_vals: additional int64 value columns carried as sort PAYLOADS
+    extra_vals: additional value columns carried as sort PAYLOADS
     (variadic sort cost is nearly flat in operand count — measured 8 ops
     216 ms vs 1 op 145 ms at 33.5M on v5e), summed per group via one
     (Q,128) payload-row gather at the SAME rank positions the packed value
-    uses. Payloads are not packed, so negatives and wide ranges are fine.
-    Appended to the return tuple as per-group int64 sums.
+    uses. Payloads are not packed, so negatives and wide ranges are fine;
+    integer payloads accumulate int64, FLOAT/DOUBLE payloads accumulate
+    float64 (their per-group sums are XLA-reduction-ordered, like every
+    other float aggregation in the engine). Appended to the return tuple
+    as per-group sums in the accumulation dtype.
 
     with_distinct: the packed sort places each group's EQUAL values
     adjacently, so a change flag (sp[i] != sp[i-1] — always 1 at group
@@ -386,12 +389,16 @@ def join_groupby_direct(
         brow = jnp.clip(b, 0, nb - 1)
         under = lane[None, :] < rem[:, None]
         for e in payloads:
+            acc_dt = (
+                jnp.float64 if jnp.issubdtype(e.dtype, jnp.floating)
+                else jnp.int64
+            )
             e2d = e.reshape(nb, blk)
-            ebs = jnp.sum(e2d, axis=1, dtype=jnp.int64)
+            ebs = jnp.sum(e2d, axis=1, dtype=acc_dt)
             ebp = jnp.concatenate([jnp.cumsum(ebs) - ebs, jnp.sum(ebs)[None]])
             part = jnp.sum(
                 jnp.where(under, e2d[brow], jnp.zeros((), e2d.dtype)),
-                axis=1, dtype=jnp.int64,
+                axis=1, dtype=acc_dt,
             )
             pr = ebp[jnp.clip(b, 0, nb)] + part
             es_list.append((pr[1:] - pr[:g]) if dense else (pr[g:] - pr[:g]))
@@ -411,7 +418,7 @@ def join_groupby_direct(
     sums = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
     counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
     extra_out = [
-        jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(es)
+        jnp.zeros((n_groups,), es.dtype).at[dim_perm].set(es)
         for es in es_list
     ]
     if with_minmax:
@@ -455,10 +462,12 @@ def join_groupby_firstapp(
     the reference's first-appearance position (hash_agg.rs:85-111).
 
     Requires key_eff_max < 2^(63-rid_bits). Values are NOT packed: any
-    int64 payload (negatives included) sums exactly. fact_vals may be a
-    single array or a TUPLE of value columns — every payload rides the one
-    variadic sort (nearly flat in operand count) and is summed from one
-    (Q,128) payload-row gather at the shared rank positions.
+    payload (negatives included) sums exactly for ints; FLOAT/DOUBLE
+    payloads accumulate float64 (XLA-reduction-ordered, like every other
+    float aggregation in the engine). fact_vals may be a single array or a
+    TUPLE of value columns — every payload rides the one variadic sort
+    (nearly flat in operand count) and is summed from one (Q,128)
+    payload-row gather at the shared rank positions.
     Returns (sums_0, counts, first_rowid, sums_1, ...) scattered to
     dim_perm order."""
     vals = fact_vals if isinstance(fact_vals, tuple) else (fact_vals,)
@@ -502,17 +511,21 @@ def join_groupby_firstapp(
     under = lane[None, :] < rem[:, None]
     sums_all = []
     for vs in vsorted:
+        acc_dt = (
+            jnp.float64 if jnp.issubdtype(vs.dtype, jnp.floating)
+            else jnp.int64
+        )
         v2d = vs.reshape(nb, blk)
-        bs = jnp.sum(v2d, axis=1, dtype=jnp.int64)
+        bs = jnp.sum(v2d, axis=1, dtype=acc_dt)
         bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
         part = jnp.sum(
             jnp.where(under, v2d[brow], jnp.zeros((), v2d.dtype)),
-            axis=1, dtype=jnp.int64,
+            axis=1, dtype=acc_dt,
         )
         pr = bp[bcol] + part
         sum_sorted = (pr[1:] - pr[:g]) if dense else (pr[g:] - pr[:g])
         sums_all.append(
-            jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(sum_sorted)
+            jnp.zeros((n_groups,), acc_dt).at[dim_perm].set(sum_sorted)
         )
     cnt_sorted = (hi - lo).astype(jnp.int64)
     rmask = (jnp.int64(1) << rid_bits) - 1

@@ -236,6 +236,67 @@ class PushJoinResidualIntoChildren(Rule):
         )
 
 
+class PushSemiJoinThroughInner(Rule):
+    """semi/anti(inner(A, B), S) → inner(A, semi/anti(B, S)) when every
+    left-side reference of the semi join (its ON keys' left exprs plus any
+    residual's inner-side refs) resolves within ONE child of the inner
+    join. A semi/anti join is a pure order-preserving row filter on its
+    left input, and the inner join's pair emission enumerates pairs
+    right-row-major with build-insertion order within a probe row
+    (ops/join.py equi_join_pairs), so filtering one side BEFORE the join
+    keeps exactly the pairs — in the same relative order — that filtering
+    the join output would keep. Pushing shrinks pair expansion (the semi
+    filter runs on one table instead of the join output) and leaves
+    HashAgg-over-inner-join plans in the shape the fused star-rollup route
+    recognizes (Q18: the IN-subquery semi join commutes below the
+    lineitem⋈orders join, then below orders⋈customer onto orders). No
+    reference analogue — the reference has no semi joins (it binds only
+    FROM-alias and scalar subqueries, src/binder/table/subquery.rs:84)."""
+
+    name = "PushSemiJoinThroughInner"
+    pattern = Pattern(_is(LogicalJoin))
+
+    def apply(self, node):
+        semi: LogicalJoin = node
+        if semi.join_type not in ("semi", "anti"):
+            return None
+        inner = semi.children[0]
+        if not isinstance(inner, LogicalJoin) or inner.join_type != "inner":
+            return None
+        a, b = inner.children
+        a_b = set(a.output_bindings())
+        b_b = set(b.output_bindings())
+        left_refs = set()
+        for lk, _ in semi.on:
+            left_refs |= referenced_bindings([lk])
+        if semi.filter is not None:
+            left_refs |= referenced_bindings([semi.filter]) & (a_b | b_b)
+        if not left_refs:
+            return None
+        if left_refs <= a_b:
+            side = 0
+        elif left_refs <= b_b:
+            side = 1
+        else:
+            return None  # semi condition spans both inner-join sides
+        pushed = LogicalJoin(
+            children=[inner.children[side], semi.children[1]],
+            join_type=semi.join_type,
+            on=semi.on,
+            filter=semi.filter,
+            null_aware=semi.null_aware,
+        )
+        new_children = [a, b]
+        new_children[side] = pushed
+        return LogicalJoin(
+            children=new_children,
+            join_type="inner",
+            on=inner.on,
+            filter=inner.filter,
+            null_aware=inner.null_aware,
+        )
+
+
 def factor_or_common(conjuncts: list[BoundExpr]) -> list[BoundExpr]:
     """OR_i(A ∧ C_i) → A ∧ OR_i(C_i) for conjuncts A common to every
     disjunct (∧ distributes over ∨ in Kleene logic, so NULL semantics are
@@ -696,6 +757,7 @@ def default_rule_batches():
                 PushPredicateThroughJoin(),
                 PushPredicateThroughCrossJoin(),
                 PushJoinResidualIntoChildren(),
+                PushSemiJoinThroughInner(),
             ],
         ),
         HepBatch(

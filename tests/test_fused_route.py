@@ -691,3 +691,186 @@ def test_date_key_routes():
         routed, plain, fired = _both_ways(db, sql)
         assert any(tag in r for r in fired), (sql, fired)
         assert routed == plain, sql
+
+
+def test_route_float_measures():
+    """DOUBLE measures route: f64 values ride the variadic sort as payloads
+    and accumulate float64 (this is what lets real TPC-H rollups fire the
+    route — every TPC-H measure is DOUBLE). Test values are dyadic
+    rationals (k/4) with small exponent spread, so the float sums are EXACT
+    in any summation order and the rendered differential stays
+    bit-identical; realistic data is covered by the TPC-H oracle checks."""
+    rng = np.random.default_rng(91)
+    dim = (np.arange(28) * 3 + 2).astype(np.int64)
+    n = 3000
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid].copy()
+    fk[::8] = 10_000_019  # misses
+    fv = (rng.integers(-400, 400, n) / 4.0)  # exact dyadic values
+    fw = rng.integers(0, 90, n).astype(np.int64)  # int measure alongside
+    vals = [None if i % 6 == 0 else float(v) for i, v in enumerate(fv)]
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("x", LT.DOUBLE),
+                       ("w", LT.BIGINT)]),
+            {"k": fk.tolist(), "x": fv.tolist(), "w": fw.tolist()}))
+    db.create_memory_table(
+        "fn", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("x", LT.DOUBLE)]),
+            {"k": fk.tolist(), "x": vals}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    for sql, expect in [
+        # ordered variant: float payload + int packed side by side
+        ("select d.k, sum(f.x), count(*) from f join d on f.k = d.k "
+         "group by d.k order by d.k", "order_agg_join_direct"),
+        ("select d.k, sum(f.x), min(f.w), max(f.w) from f join d "
+         "on f.k = d.k group by d.k order by d.k", "order_agg_join_direct"),
+        # float EXPRESSION of fact columns (the Q3/Q18 shape):
+        ("select d.k, sum(f.x * 2.0 + 1.0), avg(f.x), count(*) from f "
+         "join d on f.k = d.k group by d.k order by d.k",
+         "order_agg_join_direct"),
+        # first-appearance variant (non-key ORDER BY queries land here)
+        ("select d.k, sum(f.x), avg(f.x), count(*) from f join d "
+         "on f.k = d.k group by d.k", "agg_join_firstapp"),
+        # NULL-able float measure: masked-zero payload + validity payload
+        ("select d.k, sum(fn.x), count(fn.x), avg(fn.x) from fn join d "
+         "on fn.k = d.k group by d.k order by d.k", "order_agg_join_direct"),
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert any(expect in r for r in fired), (sql, fired)
+        assert routed == plain, sql
+    # min/max over a float measure: needs key-packing -> falls back
+    sql = ("select d.k, min(f.x) from f join d on f.k = d.k "
+           "group by d.k order by d.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert not fired
+    assert routed == plain
+
+
+def test_route_float_oracle():
+    """Numpy float64 oracle for the routed float sums (realistic values,
+    tolerance-checked against the raw device column)."""
+    rng = np.random.default_rng(92)
+    dim = np.arange(16, dtype=np.int64) + 1  # dense
+    n = 2000
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid]
+    fv = rng.uniform(900.0, 105000.0, n) * (1 - rng.uniform(0, 0.1, n))
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("x", LT.DOUBLE)]),
+            {"k": fk.tolist(), "x": fv.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    db.last_fused_routes = []
+    res = db.run("select d.k, sum(f.x) from f join d on f.k = d.k "
+                 "group by d.k order by d.k")
+    assert db.last_fused_routes
+    got = np.asarray(res[0].columns[1].data)
+    exp = np.zeros(len(dim))
+    np.add.at(exp, gid, fv)
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_route_group_key_any_position():
+    """The join key may appear at ANY position among the group columns
+    (Q18 lists dim attributes before the key); output column order follows
+    the GROUP BY list. Ordered variant still requires the key first (the
+    ORDER BY references output column 0)."""
+    rng = np.random.default_rng(93)
+    dim = np.array([30, 4, 18, 92, 55, 11, 73, 47], dtype=np.int64)
+    names = ["nA", "nB", None, "nD", "nE", "nF", "nG", "nH"]
+    n = 2500
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid].copy()
+    fk[::9] = 999  # misses
+    fv = rng.integers(-40, 80, n).astype(np.int64)
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("v", LT.BIGINT)]),
+            {"k": fk.tolist(), "v": fv.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("name", LT.VARCHAR)]),
+            {"k": dim.tolist(), "name": names}))
+    for sql, expect_fire in [
+        # key in the middle / last of the GROUP BY list (firstapp variant)
+        ("select d.name, d.k, sum(f.v), count(*) from f join d "
+         "on f.k = d.k group by d.name, d.k", True),
+        ("select d.name, f.k, sum(f.v) from f join d on f.k = d.k "
+         "group by d.name, f.k", True),
+        # both d.k and f.k grouped (the key twice)
+        ("select d.k, f.k, count(*) from f join d on f.k = d.k "
+         "group by d.k, f.k", True),
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert bool(fired) == expect_fire, (sql, fired)
+        assert routed == plain, sql
+    # ordered variant with a non-first key: ORDER BY references column 0
+    # (a dim attribute) -> must fall back and stay correct
+    sql = ("select d.name, d.k, sum(f.v) from f join d on f.k = d.k "
+           "group by d.name, d.k order by d.name")
+    routed, plain, fired = _both_ways(db, sql)
+    assert not any("order_agg" in r for r in fired), fired
+    assert routed == plain
+
+
+def test_semi_join_pushdown_routes_q18_shape():
+    """PushSemiJoinThroughInner: an IN-subquery semi join above the star
+    join commutes onto the side that owns its key, leaving the Q18 shape
+    HashAgg(inner(fact, dim')) — which routes. Differential vs the general
+    path (same pushed plan, route disabled) and vs the equivalent
+    explicit-filter query."""
+    rng = np.random.default_rng(97)
+    dim = (np.arange(30) * 2 + 4).astype(np.int64)
+    n = 3000
+    gid = rng.integers(0, len(dim), n)
+    fk = dim[gid].copy()
+    fk[::9] = 10_000_019  # misses
+    fv = (rng.integers(-200, 200, n) / 4.0)  # exact dyadic DOUBLEs
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("x", LT.DOUBLE)]),
+            {"k": fk.tolist(), "x": fv.tolist()}))
+    db.create_memory_table(
+        "d", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    # subquery table: every 3rd dim key (plus a non-key to be ignored)
+    db.create_memory_table(
+        "s", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]),
+            {"k": dim[::3].tolist() + [999999]}))
+    # semi key on the DIM side of the star join
+    sql = ("select d.k, sum(f.x), count(*) from f join d on f.k = d.k "
+           "where d.k in (select k from s) group by d.k")
+    routed, plain, fired = _both_ways(db, sql)
+    assert any("firstapp" in r for r in fired), fired
+    assert routed == plain
+    # semi key on the FACT side
+    sql2 = ("select d.k, sum(f.x) from f join d on f.k = d.k "
+            "where f.k in (select k from s) group by d.k")
+    routed2, plain2, fired2 = _both_ways(db, sql2)
+    assert any("firstapp" in r for r in fired2), fired2
+    assert routed2 == plain2
+    # both phrasings keep the same groups (d.k = f.k on an inner join)
+    assert [r.split()[0] for r in routed] == [r.split()[0] for r in routed2]
+    # NOT IN (null-aware anti) also commutes below the join
+    sql3 = ("select d.k, sum(f.x) from f join d on f.k = d.k "
+            "where d.k not in (select k from s) group by d.k")
+    routed3, plain3, fired3 = _both_ways(db, sql3)
+    assert any("firstapp" in r for r in fired3), fired3
+    assert routed3 == plain3
+    # IN / NOT IN partition the surviving dim keys
+    keys_in = {r.split()[0] for r in routed}
+    keys_not = {r.split()[0] for r in routed3}
+    assert not (keys_in & keys_not)
+    base = db.run_lines("select d.k, sum(f.x) from f join d on f.k = d.k "
+                        "group by d.k")
+    assert keys_in | keys_not == {r.split()[0] for r in base}
