@@ -151,7 +151,15 @@ def main() -> None:
                     ),
                     "spread_int64_key_rows_per_sec": round(spread_rows_per_sec),
                     "device": jax.devices()[0].device_kind,
-                    "algorithm": "direct packed-sort + block-prefix + merge-ranked range queries (ops/pipelines.py join_groupby_direct)",
+                    # auto-selected per metadata: dense dim + <2^24 values ->
+                    # MXU one-hot matmul segment-sum (ops/mxu_agg.py);
+                    # otherwise packed-sort + merge-ranked range queries
+                    # (ops/pipelines.py join_groupby_direct) — the spread-key
+                    # number above IS the sort path (packing defeated)
+                    "algorithm": (
+                        "mxu one-hot matmul segment-sum (dense dims; "
+                        "ops/mxu_agg.py) / packed-sort merge-rank fallback"
+                    ),
                 },
             }
         )

@@ -205,6 +205,21 @@ def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
     )
 
 
+@partial(jax.jit, static_argnames=("n_groups", "val_bits", "interpret"))
+def _routed_kernel_mxu(fkeys, fvalid, fvals, key_min, n_groups: int,
+                       val_bits: int, interpret: bool = False):
+    """Pure sum+count rollup over a DENSE dim domain: the MXU one-hot
+    matmul segment-sum (ops/mxu_agg.py, measured 1.9-3.2x over the packed
+    sort on v5e). dim_sorted is consecutive, so gid order IS output order —
+    no perm scatter. Invalid fact keys mask below the domain."""
+    from sqlrs_tpu.ops.mxu_agg import mxu_groupby_dense
+
+    fk = jnp.where(fvalid, fkeys.astype(jnp.int64), key_min - 1)
+    return mxu_groupby_dense(
+        fk, fvals, n_groups, val_bits, interpret=interpret, key_min=key_min,
+    )
+
+
 @partial(
     jax.jit, static_argnames=("n_groups", "rid_bits", "dense", "packs")
 )
@@ -675,6 +690,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
     # validity payloads: one per NULL-able expression (per-group non-NULL
     # counts for count(v) / avg denominators / NULL-sum detection)
     valid_ixs = [k for k in range(len(val_cols)) if nullable[k]]
+    used_mxu = False
     if ordered:
         # the packed expression: the min/max/DISTINCT one if any (those
         # REQUIRE packing — range endpoints / adjacent duplicates), else the
@@ -737,13 +753,30 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
             len(extra_ixs) + valid_ixs.index(packed_ix)
             if pvalid is not None else -1
         )
-        out = _routed_kernel(
-            fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
-            vals, pvalid, dim_sorted, _np.int64(miss_key),
-            n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
-            dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
-            extra_pairs=pairs, extra_packs=packs, null_ix=null_ix,
+        from sqlrs_tpu.ops.mxu_agg import mxu_eligible, mxu_interpret_flag
+
+        used_mxu = (
+            not with_minmax and not with_distinct and not pairs
+            and packed_ix is not None and pvalid is None
+            and mxu_eligible(
+                n_groups, int(vmaxs[packed_ix]), int(vmins[packed_ix]), dense
+            )
         )
+        if used_mxu:
+            out = _routed_kernel_mxu(
+                fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
+                vals, jnp.int64(d_min), n_groups=n_groups,
+                val_bits=val_bits, interpret=mxu_interpret_flag(),
+            )
+        else:
+            out = _routed_kernel(
+                fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
+                vals, pvalid, dim_sorted, _np.int64(miss_key),
+                n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
+                dense=dense, with_minmax=with_minmax,
+                with_distinct=with_distinct,
+                extra_pairs=pairs, extra_packs=packs, null_ix=null_ix,
+            )
         # kernel layout: sums_packed, counts, [mins, maxs,] [dcnt, dsum,]
         # extra sums…, validity counts…
         dbase = 4 if with_minmax else 2
@@ -925,6 +958,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
             ("order_agg_join_direct" if ordered else "agg_join_firstapp")
             + ("_dense" if dense else "")
             + ("_ck2" if composite else "")
+            + ("_mxu" if used_mxu else "")
         )
     cache.pop(id(join.children[0]), None)  # consumed — don't leak into a
     cache.pop(id(join.children[1]), None)  # later executor walk

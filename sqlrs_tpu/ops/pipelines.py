@@ -567,6 +567,23 @@ def make_join_groupby(n_groups: int, strategy: str = "direct", slack: int = 2):
                 and dim_max is not None
                 and int(dim_max) - int(dim_min) + 1 == n_groups
             )
+            from sqlrs_tpu.ops.mxu_agg import (
+                mxu_eligible,
+                mxu_groupby_dense,
+                mxu_interpret_flag,
+            )
+
+            if mxu_eligible(n_groups, val_max, 0, dense):
+                # dense dim + small non-negative int values: the MXU
+                # one-hot matmul segment-sum beats the sort formulation
+                # (measured v5e: 75 ms vs 146 ms at 33.5M x 64K groups,
+                # 41 ms vs 132 ms at 4K — BASELINE.md round 4)
+                return mxu_groupby_dense(
+                    fact_keys, fact_vals, n_groups, val_bits,
+                    interpret=mxu_interpret_flag(),
+                    key_min=jnp.int64(int(dim_min)), dim_keys=dim_keys,
+                    with_perm=True,
+                )
             order = jnp.argsort(dim_keys)
             dim_sorted = dim_keys[order]
             return join_groupby_direct(

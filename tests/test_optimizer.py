@@ -453,3 +453,20 @@ class TestPushJoinResidualIntoChildren:
                          "on t1.a = t2.a and t2.b > 3")
         (join,) = find_ops(p, L.LogicalJoin)
         assert join.filter is not None
+
+
+def test_plan_golden_snapshot():
+    """The rendered EXPLAIN snapshots for the 23 golden cases must match
+    the checked-in file — regenerate-on-change workflow mirroring the
+    reference's `make planner_test_build`
+    (/root/reference/tests/sqlplannertest/src/bin/apply.rs:158-167):
+        python -m tests.plan_goldens --apply"""
+    from tests import plan_goldens
+
+    with open(plan_goldens.SNAPSHOT) as f:
+        want = f.read()
+    got = plan_goldens.render_all()
+    assert got == want, (
+        "plan goldens changed; if intended run "
+        "`python -m tests.plan_goldens --apply`"
+    )
