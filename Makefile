@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: check test test-full slt bench tpch tpch_distributed run native planner_test clean
+.PHONY: check test test-full slt bench tpch tpch_distributed run native planner_test planner_test_build clean
 
 check: native test-full slt
 
@@ -17,6 +17,11 @@ slt:
 
 planner_test:
 	$(PY) -m pytest tests/test_optimizer.py -q
+
+# regenerate the checked-in plan-golden snapshots (reference parity:
+# `make planner_test_build`, reference Makefile:15-19)
+planner_test_build:
+	$(PY) -m tests.plan_goldens --apply
 
 bench:
 	$(PY) bench.py

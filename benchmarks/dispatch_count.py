@@ -12,6 +12,13 @@ counted. Trace-time constant folding therefore does not pollute the counts.
 
 Usage:
   JAX_PLATFORMS=cpu python -m benchmarks.dispatch_count --sf 0.01 --queries 1,18
+  ... --devices 8 [--policy shuffle]   # distributed executor profile
+
+Distributed mode (--devices N) answers round-3 VERDICT item 6: dispatches
+and HOST SYNCS per query through the 8-shard executor, plus per-program
+COLLECTIVE PAYLOAD bytes. Collectives execute inside compiled shard_map
+programs, so they are recorded at trace time (the warm run) — with static
+shapes that IS the per-execution payload; bytes are per shard.
 """
 
 from __future__ import annotations
@@ -120,35 +127,115 @@ def install(counter: DispatchCounter) -> None:
     array_mod.ArrayImpl.__array__ = np_hook
 
 
+class CollectiveMeter:
+    """Trace-time accounting of jax.lax collective payloads. Collectives
+    run inside compiled shard_map bodies, so they appear during tracing
+    (the warm run); with static shapes the traced payload IS the
+    per-execution payload. Bytes are per shard."""
+
+    OPS = ("all_to_all", "psum", "all_gather", "ppermute", "psum_scatter")
+
+    def __init__(self) -> None:
+        self.calls = collections.Counter()
+        self.bytes = collections.Counter()
+        self.active = False
+
+    def reset(self):
+        self.calls.clear()
+        self.bytes.clear()
+
+    def install(self):
+        import jax
+
+        def _nbytes(x):
+            try:
+                return x.size * x.dtype.itemsize
+            except Exception:
+                return 0
+
+        def wrap(name, orig):
+            def f(*a, **kw):
+                if self.active:
+                    self.calls[name] += 1
+                    for arg in a:
+                        for leaf in jax.tree.leaves(arg):
+                            if hasattr(leaf, "dtype"):
+                                self.bytes[name] += _nbytes(leaf)
+                return orig(*a, **kw)
+
+            return f
+
+        for name in self.OPS:
+            orig = getattr(jax.lax, name, None)
+            if orig is not None:
+                setattr(jax.lax, name, wrap(name, orig))
+
+    def report(self) -> str:
+        if not self.calls:
+            return "  collectives: none"
+        lines = []
+        for name, cnt in self.calls.most_common():
+            lines.append(
+                f"  collective {name:14s} {cnt:4d} calls  "
+                f"{self.bytes[name]:12,d} B/shard"
+            )
+        lines.append(
+            f"  collective TOTAL          {sum(self.calls.values()):4d} calls  "
+            f"{sum(self.bytes.values()):12,d} B/shard"
+        )
+        return "\n".join(lines)
+
+
 def main() -> None:
     import os
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.01)
     ap.add_argument("--queries", type=str, default="1")
     ap.add_argument("--stacks", action="store_true",
                     help="sample call sites of dispatches")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="run through Database(n_devices=N) on a virtual mesh")
+    ap.add_argument("--policy", type=str, default=None,
+                    help="dist join policy override (e.g. shuffle)")
     args = ap.parse_args()
+
+    if args.devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.devices}"
+        )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     counter = DispatchCounter()
     install(counter)
+    meter = CollectiveMeter()
+    meter.install()
 
     import sqlrs_tpu
     from benchmarks import tpch_dbgen
     from benchmarks.tpch import run_query
 
     tables = tpch_dbgen.gen_tables(args.sf, seed=0)
-    db = sqlrs_tpu.Database()
+    db = (
+        sqlrs_tpu.Database(n_devices=args.devices)
+        if args.devices else sqlrs_tpu.Database()
+    )
+    if args.policy:
+        db.dist_join_policy = args.policy
     tpch_dbgen.load_into(db, tables)
     qs = [int(x) for x in args.queries.split(",")]
     total = 0
+    total_fetch = 0
     for qn in qs:
-        run_query(db, qn)  # warm: trace caches, interning
+        meter.reset()
+        meter.active = True
+        run_query(db, qn)  # warm: trace caches, interning (+ collectives)
+        meter.active = False
         counter.reset()
         counter.sample_stacks = args.stacks
         counter.active = True
@@ -156,9 +243,15 @@ def main() -> None:
         counter.active = False
         print(f"=== Q{qn} (steady) ===")
         print(counter.report())
+        if args.devices:
+            print(meter.report())
         total += counter.total()
+        total_fetch += counter.fetch
     if len(qs) > 1:
-        print(f"=== ALL: {total} dispatches over {len(qs)} queries ===")
+        print(
+            f"=== ALL: {total} dispatches ({total_fetch} host fetches) "
+            f"over {len(qs)} queries ==="
+        )
 
 
 if __name__ == "__main__":

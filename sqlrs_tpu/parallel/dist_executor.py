@@ -995,6 +995,10 @@ class DistributedExecutor:
                 bucket_b=bucket_b, bucket_p=bucket_p,
                 hot_capacity=hot_capacity,
                 hot_min=getattr(self.db, "dist_hot_min", None),
+                # db.dist_exchange_ring=True stages the probe exchange in
+                # ppermute ring hops overlapping the per-chunk rank sorts
+                # (bit-identical outputs; see dist_join._ring_probe_ranks)
+                ring=getattr(self.db, "dist_exchange_ring", False),
             )
             if a.overflow == 0:
                 break

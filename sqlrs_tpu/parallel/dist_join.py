@@ -52,7 +52,79 @@ from jax.sharding import PartitionSpec as P
 
 from sqlrs_tpu.ops.hash_table import _mix64
 from sqlrs_tpu.ops.join import _pairs_phase_a
-from sqlrs_tpu.parallel.dist_ops import _exchange_rows
+from sqlrs_tpu.parallel.dist_ops import _bucketize_rows, _exchange_rows
+
+
+def _ring_probe_ranks(p_send, dest_p, n_dev, cap, axis, l_ops, nk):
+    """Ring-staged probe exchange with receive/probe OVERLAP (round-3
+    VERDICT item 7): instead of one monolithic all_to_all followed by one
+    rank pass, the bucketized probe buffers rotate around the ring via
+    lax.ppermute; each step ISSUES the next hop first, then ranks the
+    chunk that just became resident against the local build side — so
+    receive(k+1) is in flight while probe(k) computes, exactly the
+    ring_agg_join double-buffering pattern generalized to the shuffle
+    join. Per-chunk results land at the same sender-major offsets the
+    all_to_all layout uses, and per-probe-row ranks depend only on the
+    build side, so every output array is BIT-IDENTICAL to the monolithic
+    path (tests/test_distributed.py pins this).
+
+    Cost model: a ring all_to_all moves each buffer n_dev hops (on ICI
+    ring topologies the links carry equivalent traffic for the monolithic
+    all_to_all too — average hop distance is O(n)); the rank sort runs
+    once per chunk against the full local build, so the build side is
+    re-sorted n_dev times. The win is latency hiding, not volume; the
+    monolithic path stays the default."""
+    bufs, mbuf, ovf = _bucketize_rows(p_send, dest_p, n_dev, cap)
+    i = jax.lax.axis_index(axis)
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+    n_recv = n_dev * cap
+
+    def _varying(x):
+        # zero-init carries are replicated constants; the scan outputs are
+        # shard-varying — align the vma types for shard_map's scan check
+        return jax.lax.pcast(x, (axis,), to="varying")
+
+    outs0 = tuple(_varying(jnp.zeros((n_recv,), b.dtype)) for b in bufs)
+    msk0 = _varying(jnp.zeros((n_recv,), jnp.bool_))
+    st0 = _varying(jnp.zeros((n_recv,), jnp.int64))
+    ct0 = _varying(jnp.zeros((n_recv,), jnp.int64))
+    nb_local = l_ops[1].shape[0]
+    ord0 = _varying(jnp.zeros((nb_local,), jnp.int64))
+
+    def step(carry, s):
+        bufs_c, mbuf_c, outs, msk, sts, cts, _ = carry
+        # next hop FIRST: the ppermute overlaps the rank compute below
+        bufs_n = tuple(jax.lax.ppermute(b, axis, perm) for b in bufs_c)
+        mbuf_n = jax.lax.ppermute(mbuf_c, axis, perm)
+        # resident buffer belongs to shard (i - s); my chunk is row i
+        chunk = tuple(
+            jax.lax.dynamic_index_in_dim(b, i, 0, keepdims=False)
+            for b in bufs_c
+        )
+        cm = jax.lax.dynamic_index_in_dim(mbuf_c, i, 0, keepdims=False)
+        r_ops = []
+        for j in range(nk):
+            r_ops += [cm.astype(jnp.int32), chunk[j]]
+        st_c, ct_c, order, _tot = _pairs_phase_a(
+            l_ops, tuple(r_ops), 2 * nk
+        )
+        src = (i - s) % n_dev
+        off = src * np.int64(cap)
+        outs = tuple(
+            jax.lax.dynamic_update_slice(o, c, (off,))
+            for o, c in zip(outs, chunk)
+        )
+        msk = jax.lax.dynamic_update_slice(msk, cm, (off,))
+        sts = jax.lax.dynamic_update_slice(sts, st_c, (off,))
+        cts = jax.lax.dynamic_update_slice(cts, ct_c, (off,))
+        return (bufs_n, mbuf_n, outs, msk, sts, cts, order), None
+
+    carry0 = (bufs, mbuf, outs0, msk0, st0, ct0, ord0)
+    carry, _ = jax.lax.scan(
+        step, carry0, jnp.arange(n_dev, dtype=jnp.int64)
+    )
+    _, _, outs, msk, sts, cts, order = carry
+    return outs, msk, sts, cts, order, ovf
 
 _N_BUCKETS = 4096
 _BLK = 128
@@ -108,6 +180,7 @@ def shuffle_join_phase_a(
     hot_factor: float = 4.0,
     hot_min: int | None = None,
     axis="x",
+    ring: bool = False,
 ):
     # a bucket is hot only when it is BOTH far above the mean and big
     # enough to threaten a (sender, receiver) bucket: tiny inputs otherwise
@@ -179,7 +252,10 @@ def shuffle_join_phase_a(
         dest_p = jnp.where(hot[bucket_p_id], salt, base_p)
         dest_p = jnp.where(pvalid, dest_p, n_dev)
         p_send = tuple(e for e, _ in pk) + tuple(ppay) + (prow,)
-        p_recv, pm, ovf_p = _exchange_rows(p_send, dest_p, n_dev, bucket_p, axis)
+        if not ring:
+            p_recv, pm, ovf_p = _exchange_rows(
+                p_send, dest_p, n_dev, bucket_p, axis
+            )
 
         # ---- build exchange: cold rows shuffle, hot rows replicate --------
         bucket_b_id = (hb % _N_BUCKETS).astype(jnp.int32)
@@ -219,13 +295,22 @@ def shuffle_join_phase_a(
 
         # ---- per-probe match ranges over the rowid-ordered build ----------
         l_ops = []
-        r_ops = []
         for j in range(nk):
             l_ops += [bm_s.astype(jnp.int32), b_sorted[j]]
-            r_ops += [pm.astype(jnp.int32), p_recv[j]]
-        starts, counts, order, _tot = _pairs_phase_a(
-            tuple(l_ops), tuple(r_ops), 2 * nk
-        )
+        if ring:
+            # ring-staged probe exchange: ppermute hops overlap the
+            # per-chunk rank sorts; outputs bit-identical to the
+            # monolithic all_to_all + single rank pass
+            p_recv, pm, starts, counts, order, ovf_p = _ring_probe_ranks(
+                p_send, dest_p, n_dev, bucket_p, axis, tuple(l_ops), nk
+            )
+        else:
+            r_ops = []
+            for j in range(nk):
+                r_ops += [pm.astype(jnp.int32), p_recv[j]]
+            starts, counts, order, _tot = _pairs_phase_a(
+                tuple(l_ops), tuple(r_ops), 2 * nk
+            )
         m_local = jnp.max(counts)
 
         overflow = jax.lax.psum(ovf_p + ovf_b + ovf_hot, axis)

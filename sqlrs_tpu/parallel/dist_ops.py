@@ -487,12 +487,10 @@ def dist_join_groupby_ring(mesh, fact_keys, fact_vals, dim_keys, n_groups: int, 
     )(fact_keys, fact_vals, fvalid, dim_keys_p, dim_rows_p, dvalid)
 
 
-def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
-    """all_to_all N rows to `dest` shards (dest == n_dev drops the row);
-    returns (tuple of received arrays, received mask, local overflow count).
-    Shared bucketing logic for the shuffle operators. overflow > 0 means
-    live rows did NOT fit their (sender, receiver) bucket and were dropped —
-    callers must surface it (retry bigger or raise), never ignore it."""
+def _bucketize_rows(arrays, dest, n_dev, bucket_capacity):
+    """The scatter half of the exchange: lay rows into per-destination
+    buckets. Returns (tuple of (n_dev, cap) buffers, (n_dev, cap) live
+    mask, local overflow count). dest == n_dev drops the row."""
     n = dest.shape[0]
     order = jnp.argsort(dest, stable=True)
     d_s = dest[order]
@@ -507,18 +505,26 @@ def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
         in_cap, jnp.clip(d_s, 0, n_dev - 1) * bucket_capacity + pos,
         n_dev * bucket_capacity,
     )
-    received = []
+    bufs = []
     for a in arrays:
         a_s = a[order]
         buf = jnp.zeros((n_dev * bucket_capacity + 1,), a.dtype).at[flat].set(a_s)
-        r = jax.lax.all_to_all(
-            buf[:-1].reshape(n_dev, bucket_capacity), axis, 0, 0
-        ).reshape(-1)
-        received.append(r)
+        bufs.append(buf[:-1].reshape(n_dev, bucket_capacity))
     mbuf = jnp.zeros((n_dev * bucket_capacity + 1,), jnp.bool_).at[flat].set(in_cap)
-    mask = jax.lax.all_to_all(
-        mbuf[:-1].reshape(n_dev, bucket_capacity), axis, 0, 0
-    ).reshape(-1)
+    return tuple(bufs), mbuf[:-1].reshape(n_dev, bucket_capacity), overflow
+
+
+def _exchange_rows(arrays, dest, n_dev, bucket_capacity, axis):
+    """all_to_all N rows to `dest` shards (dest == n_dev drops the row);
+    returns (tuple of received arrays, received mask, local overflow count).
+    Shared bucketing logic for the shuffle operators. overflow > 0 means
+    live rows did NOT fit their (sender, receiver) bucket and were dropped —
+    callers must surface it (retry bigger or raise), never ignore it."""
+    bufs, mbuf, overflow = _bucketize_rows(arrays, dest, n_dev, bucket_capacity)
+    received = [
+        jax.lax.all_to_all(buf, axis, 0, 0).reshape(-1) for buf in bufs
+    ]
+    mask = jax.lax.all_to_all(mbuf, axis, 0, 0).reshape(-1)
     return tuple(received), mask, overflow
 
 

@@ -282,3 +282,43 @@ def test_ring_agg_over_join():
     db8.dist_ring_min_build = 1
     assert db8.run_lines(qs[0]) == db1.run_lines(qs[0])
     assert db8.last_join_strategies == ["ring"]
+
+
+def test_ring_exchange_sql_shuffle_join_bit_exact():
+    """db.dist_exchange_ring=True: the shuffle join's probe exchange runs
+    as ppermute ring hops with per-chunk rank sorts overlapping the next
+    receive (dist_join._ring_probe_ranks). The SQL result must be
+    bit-exact vs single-device AND vs the monolithic exchange."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n, g = 5000, 60
+    gid = rng.integers(0, g, n)
+    vals = rng.integers(-100, 1000, n)
+    rows_f = ",".join(f"({k * 5 + 2},{v})" for k, v in zip(gid, vals))
+    rows_d = ",".join(f"({k * 5 + 2},{k * 9})" for k in range(g))
+    ddl = [
+        "create table fact(k int, v int)",
+        "create table dim(k int, d int)",
+        f"insert into fact values {rows_f}",
+        f"insert into dim values {rows_d}",
+    ]
+    q = (
+        "select dim.d, sum(fact.v), count(*) from dim join fact"
+        " on fact.k = dim.k group by dim.d order by dim.d"
+    )
+    db1 = Database()
+    db8 = Database(n_devices=8)
+    db8.dist_join_policy = "shuffle"
+    db8r = Database(n_devices=8)
+    db8r.dist_join_policy = "shuffle"
+    db8r.dist_exchange_ring = True
+    for db in (db1, db8, db8r):
+        for s in ddl:
+            db.run(s)
+    exp = db1.run_lines(q)
+    mono = db8.run_lines(q)
+    ring = db8r.run_lines(q)
+    assert mono == exp
+    assert ring == exp
+    assert "shuffle" in db8r.last_join_strategies, db8r.last_join_strategies

@@ -263,3 +263,52 @@ def test_shuffle_partitions_by_key(mesh):
     assert a.n_hot_buckets == 0
     assert a.m == 1
     del ones
+
+
+def test_ring_probe_exchange_bit_identical(mesh):
+    """ring=True stages the probe exchange in ppermute hops with per-chunk
+    rank sorts overlapping the next receive (dist_join._ring_probe_ranks).
+    Every phase-A output array must be BIT-IDENTICAL to the monolithic
+    all_to_all + single-rank-pass path — same sender-major layout, same
+    starts/counts/order, same skew/overflow accounting."""
+    from sqlrs_tpu.parallel.dist_join import shuffle_join_phase_a
+
+    n = 4096
+    rng = np.random.default_rng(11)
+    bkeys = rng.integers(0, 500, n).astype(np.int64)  # duplicate build keys
+    pkeys = rng.integers(0, 700, n).astype(np.int64)  # misses included
+    pkeys[::5] = 3  # a hot probe key
+    bpay = rng.integers(-50, 50, n).astype(np.int64)
+    bval = np.ones(n, np.bool_)
+    bval[::17] = False  # NULL build keys never match
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), row_sharding(mesh))
+
+    args = dict(
+        bucket_b=2 * n // 8, bucket_p=2 * n // 8, hot_capacity=256,
+    )
+    outs = {}
+    for ring in (False, True):
+        a = shuffle_join_phase_a(
+            mesh,
+            [(put(bkeys), put(bval))], [put(bpay)],
+            put(np.arange(n, dtype=np.int64)), put(np.ones(n, np.bool_)),
+            [(put(pkeys), put(np.ones(n, np.bool_)))], [],
+            put(np.arange(n, dtype=np.int64)), put(np.ones(n, np.bool_)),
+            ring=ring, **args,
+        )
+        outs[ring] = a
+    a0, a1 = outs[False], outs[True]
+    assert a0.overflow == a1.overflow == 0
+    assert a0.m == a1.m
+    assert a0.n_hot_buckets == a1.n_hot_buckets
+    for x, y in zip(a0.build_arrays, a1.build_arrays):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    assert np.array_equal(np.asarray(a0.build_mask), np.asarray(a1.build_mask))
+    for x, y in zip(a0.probe_arrays, a1.probe_arrays):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    assert np.array_equal(np.asarray(a0.probe_mask), np.asarray(a1.probe_mask))
+    assert np.array_equal(np.asarray(a0.starts), np.asarray(a1.starts))
+    assert np.array_equal(np.asarray(a0.counts), np.asarray(a1.counts))
+    assert np.array_equal(np.asarray(a0.order), np.asarray(a1.order))
