@@ -189,7 +189,10 @@ class CollectiveMeter:
 def main() -> None:
     import os
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # ALWAYS CPU (counts are platform-independent): the session env pins
+    # JAX_PLATFORMS=axon and the package import reads the ENV, so a
+    # setdefault would leave the process on the remote relay (CLAUDE.md)
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.01)

@@ -398,10 +398,23 @@ class DistributedExecutor:
         jop = node
         if not isinstance(jop, P.PhysicalHashJoin):
             return None
-        if jop.join_type != "inner" or len(jop.on) != 1 or jop.filter is not None:
+        if (
+            jop.join_type != "inner"
+            or len(jop.on) not in (1, 2)
+            or jop.filter is not None
+        ):
             return None
-        if any(a.distinct or a.function_name == "avg" for a in op.aggregates):
+        # DISTINCT partials cannot combine across shards without value
+        # sets — fall back; avg decomposes into sum+count partials below
+        if any(a.distinct for a in op.aggregates):
             return None
+        if len(jop.on) == 2:
+            from sqlrs_tpu.exec.fused_route import _routable_key_type
+
+            for lk, rk in jop.on:
+                for k in (lk, rk):
+                    if not _routable_key_type(k.type):
+                        return None
 
         def compose(e):
             for exprs in proj_stack:
@@ -465,7 +478,38 @@ class DistributedExecutor:
             return self._grouped_agg_dist(op, child)
 
         lview, rview = left.view(), right.view()
-        (d_col,) = execute_exprs_fused([jop.on[0][0]], lview)
+        if len(jop.on) == 2:
+            # composite two-key equi join: fold into one combined int key
+            # (fused_route._combine_keys — same packing, masking and
+            # overflow guard as the single-device route; ONE extra host
+            # fetch for the meta)
+            from sqlrs_tpu.exec.fused_route import _combine_keys
+
+            (l1, r1), (l2, r2) = jop.on
+            d1, d2 = execute_exprs_fused([l1, l2], lview)
+            f1, f2 = execute_exprs_fused([r1, r2], rview)
+            fact_ck, fact_ok, dim_ck, dim_ok2, ck_meta = _combine_keys(
+                f1.data, f1.valid, f2.data, f2.valid,
+                d1.data, d1.valid, d2.data, d2.valid,
+            )
+            ckm = np.asarray(ck_meta)
+            s_minor, mj_min = int(ckm[0]), int(ckm[1])
+            f1_min, f1_max, d1_max = int(ckm[3]), int(ckm[4]), int(ckm[5])
+            span = max(abs(f1_max - mj_min) + 1, abs(f1_min - mj_min) + 1,
+                       abs(d1_max - mj_min) + 1)
+            if s_minor <= 0 or span >= (1 << 61) // max(s_minor, 1):
+                return None  # combined packing would overflow int64
+            d_enc, d_kv = dim_ck, dim_ok2
+            f_enc, f_kv = fact_ck, fact_ok
+        else:
+            # join `on` sides are resolved against their own child
+            # (resolver _resolve_against per child); only agg args / group
+            # keys index the merged join output and need the probe shift
+            (d_col,) = execute_exprs_fused([jop.on[0][0]], lview)
+            (f_col,) = execute_exprs_fused([jop.on[0][1]], rview)
+            d_enc, d_kv = orderable_key(d_col)
+            f_enc, f_kv = orderable_key(f_col)
+            f_enc = f_enc.astype(d_enc.dtype)
 
         def shift(e):
             from sqlrs_tpu.binder.expression import rewrite_expr
@@ -477,10 +521,6 @@ class DistributedExecutor:
                 else None,
             )
 
-        # join `on` sides are resolved against their own child (resolver
-        # _resolve_against per child); only agg args / group keys index the
-        # merged left++right join output and need the probe-side shift
-        (f_col,) = execute_exprs_fused([jop.on[0][1]], rview)
         group_cols = execute_exprs_fused(groups, lview)
         agg_args = [
             execute_exprs_fused([shift(a.arg)], rview)[0]
@@ -489,9 +529,6 @@ class DistributedExecutor:
             for a in aggregates
         ]
 
-        d_enc, d_kv = orderable_key(d_col)
-        f_enc, f_kv = orderable_key(f_col)
-        f_enc = f_enc.astype(d_enc.dtype)
         f_ok = right.alive & f_kv
         d_ok = left.alive & d_kv
         sh = row_sharding(self.mesh)
@@ -513,9 +550,20 @@ class DistributedExecutor:
             if name == "count":
                 plan.append(("count", len(sum_cols), None, None))
                 sum_cols.append(c.valid.astype(jnp.int64))
-            elif name == "sum":
-                acc_dt = numpy_dtype_for(a.return_type())
-                plan.append(("sum", len(sum_cols), len(sum_cols) + 1, None))
+            elif name in ("sum", "avg"):
+                # avg decomposes into sum + non-NULL-count partials; the
+                # division happens after the final combine (below). Int
+                # args accumulate int64 so the final division matches the
+                # single-device float64(int_sum)/count exactly.
+                if name == "avg":
+                    acc_dt = (
+                        jnp.float64
+                        if jnp.issubdtype(c.data.dtype, jnp.floating)
+                        else jnp.int64
+                    )
+                else:
+                    acc_dt = numpy_dtype_for(a.return_type())
+                plan.append((name, len(sum_cols), len(sum_cols) + 1, None))
                 sum_cols.append(
                     jnp.where(c.valid, c.data.astype(acc_dt), 0)
                 )
@@ -539,33 +587,61 @@ class DistributedExecutor:
         ng = len(groups)
         part_cols = list(group_cols)
         aggs2 = []
+        names2 = list(op.names[:ng])
+        types2 = list(op.types[:ng])
+        final_spec = []  # per original aggregate: ("one", ix) | ("avg", s, c)
         always = jnp.ones((left.capacity,), jnp.bool_)
-        for i, ((kind, six, vix, mix), a) in enumerate(zip(plan, aggregates)):
-            rt = a.return_type()
-            if kind == "count_star":
-                part_cols.append(Column(rt, counts, always))
-                fn2 = "sum"
-            elif kind == "count":
-                part_cols.append(Column(rt, sums[six], always))
-                fn2 = "sum"
-            elif kind == "sum":
-                part_cols.append(
-                    Column(rt, sums[six].astype(numpy_dtype_for(rt)),
-                           sums[vix] > 0)
-                )
-                fn2 = "sum"
-            else:  # min / max
-                raw, _mk = mm_outs[mix]
-                part_cols.append(Column(rt, raw, sums[vix] > 0))
-                fn2 = kind
+
+        def _add(fn2, col, rt, nm):
+            part_cols.append(col)
             aggs2.append(
                 BoundAggregate(
                     fn2,
-                    BoundReference(ng + i, rt, a.name()),
+                    BoundReference(len(part_cols) - 1, col.type, nm),
                     False,
                     rt,
                 )
             )
+            names2.append(nm)
+            types2.append(rt)
+            return ng + len(aggs2) - 1  # final output column index
+
+        for i, ((kind, six, vix, mix), a) in enumerate(zip(plan, aggregates)):
+            rt = a.return_type()
+            nm = op.names[ng + i] if ng + i < len(op.names) else a.name()
+            if kind == "count_star":
+                final_spec.append(("one", _add("sum", Column(rt, counts, always), rt, nm)))
+            elif kind == "count":
+                final_spec.append(
+                    ("one", _add("sum", Column(rt, sums[six], always), rt, nm))
+                )
+            elif kind == "sum":
+                final_spec.append(("one", _add(
+                    "sum",
+                    Column(rt, sums[six].astype(numpy_dtype_for(rt)),
+                           sums[vix] > 0),
+                    rt, nm,
+                )))
+            elif kind == "avg":
+                st = (
+                    LogicalType.DOUBLE
+                    if jnp.issubdtype(sums[six].dtype, jnp.floating)
+                    else LogicalType.BIGINT
+                )
+                s_ix = _add(
+                    "sum", Column(st, sums[six], sums[vix] > 0), st,
+                    nm + "#sum",
+                )
+                c_ix = _add(
+                    "sum", Column(LogicalType.BIGINT, sums[vix], always),
+                    LogicalType.BIGINT, nm + "#cnt",
+                )
+                final_spec.append(("avg", s_ix, c_ix))
+            else:  # min / max
+                raw, _mk = mm_outs[mix]
+                final_spec.append(("one", _add(
+                    kind, Column(rt, raw, sums[vix] > 0), rt, nm,
+                )))
         # pair order: (first matching fact row, dim position); guard the
         # packing against int64 overflow at absurd capacities
         if right.capacity * left.capacity >= (1 << 62):
@@ -585,8 +661,8 @@ class DistributedExecutor:
         )
         op2 = P.PhysicalHashAgg(
             children=[],
-            names=list(op.names),
-            types=list(op.types),
+            names=names2,
+            types=types2,
             groups=[
                 BoundReference(i, c.type, f"g{i}")
                 for i, c in enumerate(part_cols[:ng])
@@ -594,7 +670,29 @@ class DistributedExecutor:
             aggregates=aggs2,
         )
         self._record_strategy("ring")
-        return self._grouped_agg_dist(op2, partial)
+        batch = self._grouped_agg_dist(op2, partial)
+        if all(kind == "one" for kind, *_ in final_spec):
+            return batch
+        # avg post-pass: divide the combined sum/count partials and emit
+        # the ORIGINAL output schema (G-sized, trivial)
+        cols = list(batch.columns)
+        out_cols = cols[:ng]
+        for spec, a in zip(final_spec, aggregates):
+            if spec[0] == "one":
+                out_cols.append(cols[spec[1]])
+            else:
+                _, s_ix, c_ix = spec
+                s, c = cols[s_ix], cols[c_ix]
+                den = jnp.maximum(c.data, 1).astype(jnp.float64)
+                out_cols.append(Column(
+                    a.return_type(),
+                    s.data.astype(jnp.float64) / den,
+                    s.valid & (c.data > 0),
+                ))
+        return DeviceBatch(
+            Schema.of(list(zip(op.names, op.types))), out_cols,
+            batch.num_rows,
+        )
 
     def _grouped_agg_dist(self, op, child: ShardedBatch) -> DeviceBatch:
         """Two-phase distributed GROUP BY: per-shard fixed-capacity sorted
