@@ -30,9 +30,28 @@ HELP = """\\q               quit
 
 
 class Cli:
-    def __init__(self, db: Database) -> None:
+    def __init__(self, db: Database, enable_v2: bool | None = None) -> None:
         self.db = db
         self.show_explain = False
+        # engine-personality toggle (reference src/cli.rs:17-31): the
+        # ENABLE_V2 env var presets it, and typing `enable_v2` flips it for
+        # the rest of the session. v2 routes statements through
+        # ClientContext.query (the v2 session API: prepare -> pending ->
+        # execute); v1 uses Database.run directly. One engine implements
+        # the union, so results are identical — the toggle exercises the
+        # v2 statement path exactly like the reference's.
+        if enable_v2 is None:
+            enable_v2 = os.environ.get("ENABLE_V2", "0") == "1"
+        self.enable_v2 = enable_v2
+        self._context = None
+
+    @property
+    def context(self):
+        if self._context is None:
+            from sqlrs_tpu.session.client_context import ClientContext
+
+            self._context = ClientContext(self.db)
+        return self._context
 
     def run_command(self, line: str) -> bool:
         """Handle a backslash command; returns False to exit."""
@@ -60,16 +79,25 @@ class Cli:
 
     def run_sql(self, sql: str) -> None:
         t0 = time.time()
+        if sql.strip().lower().startswith("enable_v2"):
+            self.enable_v2 = True
+            print("---- enable sqlrs v2 ! ----")
+            return
         if self.show_explain and sql.strip().lower().startswith("select"):
             print(self.db.explain(sql))
-        batches = self.db.run(sql)
-        rows: list[list[str]] = []
-        header: list[str] = []
-        for b in batches:
-            header = b.schema.names
-            rows.extend(batch_to_rows(b))
-        if header:
-            print(pretty_table(header, rows))
+        if self.enable_v2:
+            result = self.context.query(sql)
+            if result.names:
+                print(pretty_table(result.names, result.rows()))
+        else:
+            batches = self.db.run(sql)
+            rows: list[list[str]] = []
+            header: list[str] = []
+            for b in batches:
+                header = b.schema.names
+                rows.extend(batch_to_rows(b))
+            if header:
+                print(pretty_table(header, rows))
         print(f"time consumed: {time.time() - t0:.4f}s")
 
     def interactive(self) -> None:
@@ -116,6 +144,12 @@ def main(argv=None) -> None:
     )
     ap.add_argument("-c", "--command", help="run one SQL string and exit")
     ap.add_argument(
+        "--v2",
+        action="store_true",
+        help="start in the v2 engine personality (ClientContext.query path; "
+        "same as ENABLE_V2=1 or typing `enable_v2` at the prompt)",
+    )
+    ap.add_argument(
         "--devices",
         type=int,
         default=None,
@@ -128,7 +162,7 @@ def main(argv=None) -> None:
         for p in sorted(glob.glob(os.path.join(args.csv_dir, "*.csv"))):
             db.create_csv_table(os.path.splitext(os.path.basename(p))[0], p)
             print(f"loaded table {os.path.splitext(os.path.basename(p))[0]}")
-    cli = Cli(db)
+    cli = Cli(db, enable_v2=True if args.v2 else None)
     if args.command:
         try:
             cli.run_sql(args.command)

@@ -55,3 +55,31 @@ def test_profile_report(db):
     d2.run("select a from t where a > 1")
     rep = d2.last_profile.report()
     assert "TableScan" in rep and "Filter" in rep
+
+
+def test_cli_engine_personality_toggle(db, capsys, monkeypatch):
+    """Reference src/cli.rs:17-31: typing `enable_v2` flips the session into
+    the v2 engine personality (statements route through ClientContext.query,
+    the v2 session API); ENABLE_V2=1 presets it. Union engine => identical
+    results either way."""
+    from sqlrs_tpu.cli import Cli
+
+    monkeypatch.delenv("ENABLE_V2", raising=False)
+    cli = Cli(db)
+    assert cli.enable_v2 is False
+    cli.run_sql("select a from t where a > 1")
+    v1_out = capsys.readouterr().out
+    assert "2" in v1_out and "3" in v1_out
+
+    cli.run_sql("enable_v2")
+    assert cli.enable_v2 is True
+    assert "enable sqlrs v2" in capsys.readouterr().out
+
+    cli.run_sql("select a from t where a > 1")
+    v2_out = capsys.readouterr().out
+    assert "2" in v2_out and "3" in v2_out
+    # v2 path went through ClientContext (prepared statement machinery)
+    assert cli._context is not None
+
+    monkeypatch.setenv("ENABLE_V2", "1")
+    assert Cli(db).enable_v2 is True
