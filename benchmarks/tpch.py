@@ -78,6 +78,10 @@ def main(argv=None) -> None:
     ap.add_argument("--devices", type=int, default=None,
                     help="run through the distributed engine over an N-device mesh")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--no-route", action="store_true",
+                    help="disable the fused star-rollup route "
+                         "(db.enable_fused_route=False) — the routed-vs-"
+                         "unrouted on-chip comparison for BASELINE.md")
     args = ap.parse_args(argv)
 
     import os
@@ -100,6 +104,8 @@ def main(argv=None) -> None:
           f"(lineitem={len(tables['lineitem']['l_orderkey']):,} rows) "
           f"in {time.time()-t0:.1f}s", flush=True)
     db = sqlrs_tpu.Database(n_devices=args.devices)
+    if args.no_route:
+        db.enable_fused_route = False
     t0 = time.time()
     tpch_dbgen.load_into(db, tables)
     print(f"loaded in {time.time()-t0:.1f}s", flush=True)
@@ -109,6 +115,7 @@ def main(argv=None) -> None:
     for qn in qns:
         times = []
         got = None
+        db.last_fused_routes = []
         try:
             for r in range(max(args.repeat, 1)):
                 t0 = time.time()
@@ -120,8 +127,11 @@ def main(argv=None) -> None:
             continue
         steady = min(times[1:]) if len(times) > 1 else times[0]
         timings[qn] = steady
+        routes = sorted(set(db.last_fused_routes))
         print(f"Q{qn:<2} first={times[0]:7.2f}s steady={steady:7.2f}s "
-              f"rows={len(got)}", flush=True)
+              f"rows={len(got)}"
+              + (f" routes={','.join(routes)}" if routes else ""),
+              flush=True)
         if args.check:
             exp = tpch_oracle.ORACLES[qn](tables)
             issues = compare(got, exp, qn)

@@ -86,9 +86,12 @@ class Cli:
         if self.show_explain and sql.strip().lower().startswith("select"):
             print(self.db.explain(sql))
         if self.enable_v2:
-            result = self.context.query(sql)
-            if result.names:
-                print(pretty_table(result.names, result.rows()))
+            # query_all: multi-statement input runs every statement, like
+            # the v1 branch below (ADVICE round 4); explain plan strings are
+            # populated by ClientContext.prepare
+            for result in self.context.query_all(sql):
+                if result.names:
+                    print(pretty_table(result.names, result.rows()))
         else:
             batches = self.db.run(sql)
             rows: list[list[str]] = []

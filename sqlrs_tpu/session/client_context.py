@@ -83,15 +83,40 @@ class ClientContext:
         self.interrupted = True
 
     def prepare(self, sql: str) -> PreparedStatementData:
+        from sqlrs_tpu.parser import parse_one
+
+        return self._prepare_stmt(sql, parse_one(sql))
+
+    def _prepare_stmt(self, sql: str, stmt) -> PreparedStatementData:
         from sqlrs_tpu.binder.binder import Binder
         from sqlrs_tpu.optimizer import optimize
-        from sqlrs_tpu.parser import parse_one
-        from sqlrs_tpu.plan.physical import PhysicalPlanGenerator
+        from sqlrs_tpu.plan.logical import (
+            LogicalExplain,
+            explain_tree as explain_logical,
+        )
+        from sqlrs_tpu.plan.physical import (
+            PhysicalPlanGenerator,
+            explain_tree as explain_physical,
+        )
 
-        stmt = parse_one(sql)
         bound = Binder(self.db).bind(stmt)
-        plan = optimize(bound.plan)
+        plan = bound.plan
+        # explain materializes its three plan strings at prepare time, like
+        # the reference's v2 (physical_explain.rs:12-40) and the v1 session
+        # path (session/database.py _run_statement)
+        if isinstance(plan, LogicalExplain):
+            plan.plan_strings["logical_plan"] = explain_logical(plan.children[0])
+        plan = optimize(plan)
+        if isinstance(plan, LogicalExplain):
+            plan.plan_strings["optimized_logical_plan"] = explain_logical(
+                plan.children[0]
+            )
         phys = PhysicalPlanGenerator().create_plan(plan)
+        if isinstance(plan, LogicalExplain):
+            phys.plan_strings = dict(plan.plan_strings)
+            phys.plan_strings["physical_plan"] = explain_physical(
+                phys.children[0]
+            )
         return PreparedStatementData(sql, phys, bound.names, bound.types)
 
     def pending_query(self, sql: str) -> PendingQueryResult:
@@ -103,6 +128,21 @@ class ClientContext:
     def query(self, sql: str) -> MaterializedQueryResult:
         """One-shot: prepare + execute (reference client_context.rs:34)."""
         return self.pending_query(sql).execute()
+
+    def query_all(self, sql: str) -> list[MaterializedQueryResult]:
+        """Every statement in `sql`, in order. The v1 session path runs all
+        statements of a multi-statement input; this keeps the two engine
+        personalities aligned on valid v1 input instead of failing with
+        parse_one's single-statement restriction."""
+        from sqlrs_tpu.parser import parse
+
+        results = []
+        for stmt in parse(sql):
+            self.interrupted = False
+            pending = PendingQueryResult(self, self._prepare_stmt(sql, stmt))
+            self._active_pending = pending
+            results.append(pending.execute())
+        return results
 
     def execute_prepared(self, prepared: PreparedStatementData) -> MaterializedQueryResult:
         return MaterializedQueryResult(

@@ -83,3 +83,26 @@ def test_cli_engine_personality_toggle(db, capsys, monkeypatch):
 
     monkeypatch.setenv("ENABLE_V2", "1")
     assert Cli(db).enable_v2 is True
+
+
+def test_v2_explain_populates_plan_strings(db):
+    """ADVICE round 4 (medium): `explain` through ClientContext must emit
+    the same three plan strings the v1 session path does (reference v2
+    materializes them at prepare time, physical_explain.rs:12-40)."""
+    ctx = db.connect()
+    res = ctx.query("explain select a from t where b > 15")
+    keys = [r[0] for r in res.rows()]
+    assert keys == ["logical_plan", "optimized_logical_plan", "physical_plan"]
+    vals = {r[0]: r[1] for r in res.rows()}
+    assert "TableScan" in vals["physical_plan"]
+    assert all(v.strip() for v in vals.values())
+
+
+def test_v2_multi_statement(db):
+    """ADVICE round 4 (low): multi-statement input runs every statement in
+    the v2 personality, like the v1 path (no parse_one restriction)."""
+    ctx = db.connect()
+    results = ctx.query_all(
+        "insert into t values (4, 40); select sum(a) from t"
+    )
+    assert results[-1].rows() == [["10"]]
