@@ -299,6 +299,22 @@ class Executor:
                 if a.arg is not None:
                     col = arg_cols[arg_keys[repr(a.arg)]]
                 specs.append((a.function_name, col, a.return_type(), a.distinct))
+            # MXU path for small composite group domains (Q1-class rollups):
+            # one-hot matmul segment-sum with fixed-point DOUBLE measures —
+            # no N-sized sort at all (ops/mxu_grouped.py; replaces the
+            # reference's hottest loop, hash_agg.rs:32-150)
+            from sqlrs_tpu.ops.mxu_grouped import mxu_grouped_aggregate
+
+            mxu = mxu_grouped_aggregate(key_cols, specs, alive=alive)
+            if mxu is not None:
+                gcols, acols, n_groups = mxu
+                db = getattr(self, "db", None)
+                if db is not None:
+                    log = getattr(db, "last_fused_routes", None)
+                    if log is None:
+                        log = db.last_fused_routes = []
+                    log.append("hashagg_mxu")
+                return DeviceBatch(_schema(op), gcols + acols, n_groups)
             gcols, acols, n_groups = sorted_grouped_aggregate(
                 key_cols, specs, alive=alive
             )
