@@ -205,6 +205,38 @@ def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_groups", "pack32", "dense", "extra_packs", "null_ix"),
+)
+def _routed_kernel_tv(fkeys, fvalid, fvals, fvals_valid, dim_sorted,
+                      miss_key, n_groups: int, pack32: bool, dense: bool,
+                      extra_pairs=(), extra_packs=(), null_ix: int = -1):
+    """min/max over a FLOAT/DOUBLE measure: the measure rides as a SECOND
+    sort operand under the order-preserving IEEE-754 bit transform
+    (ops/pipelines.join_groupby_minmax_tv) — the route's answer to floats
+    not fitting the packed int operand. NULL values mask to int64-max tv
+    (range-tail sentinel) with the validity payload at null_ix; the f64
+    sum payload masks NULLs to 0."""
+    from sqlrs_tpu.ops.pipelines import f64_orderable, join_groupby_minmax_tv
+
+    fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
+    v64 = fvals.astype(jnp.float64)
+    tv = f64_orderable(v64)
+    if fvals_valid is not None:
+        tv = jnp.where(
+            fvals_valid, tv, jnp.int64(jnp.iinfo(jnp.int64).max)
+        )
+        v64 = jnp.where(fvals_valid, v64, jnp.float64(0.0))
+    perm = jnp.arange(n_groups, dtype=jnp.int64)
+    return join_groupby_minmax_tv(
+        fk, v64, tv, dim_sorted.astype(jnp.int64), perm, n_groups,
+        pack32, dense=dense,
+        extra_vals=_mask_payloads(extra_pairs, extra_packs),
+        null_ix=null_ix,
+    )
+
+
 @partial(jax.jit, static_argnames=("n_groups", "val_bits", "interpret"))
 def _routed_kernel_mxu(fkeys, fvalid, fvals, key_min, n_groups: int,
                        val_bits: int, interpret: bool = False):
@@ -546,8 +578,12 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
     if len(packed_need) > 1:
         return None
     expr_float = [e.return_type().is_float() for e in val_exprs]
-    if packed_need and expr_float[next(iter(packed_need))]:
-        return None  # min/max/DISTINCT need key-packing; floats are payloads
+    # float min/max routes via the two-operand tv kernel (order-preserving
+    # IEEE-754 transform as a second sort key); float DISTINCT would need
+    # value-equality packing and still falls back
+    float_tv = bool(packed_need) and expr_float[next(iter(packed_need))]
+    if float_tv and distinct_ixs:
+        return None
 
     # ---- execute children (normal recursion; scans/filters run as usual) --
     # stash the batches in the executor's one-shot cache so a later bail
@@ -716,10 +752,13 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
         val_bits = 1
         if packed_need:
             packed_ix = next(iter(packed_need))
-            vb = _bits_ok(packed_ix)
-            if vb is None:
-                return None  # min/max/DISTINCT cannot ride a payload
-            val_bits = vb
+            if float_tv:
+                pass  # value rides the second sort operand; val_bits unused
+            else:
+                vb = _bits_ok(packed_ix)
+                if vb is None:
+                    return None  # min/max/DISTINCT cannot ride a payload
+                val_bits = vb
         else:
             for k in range(len(val_cols)):
                 vb = _bits_ok(k)
@@ -767,6 +806,13 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
                 fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
                 vals, jnp.int64(d_min), n_groups=n_groups,
                 val_bits=val_bits, interpret=mxu_interpret_flag(),
+            )
+        elif float_tv:
+            out = _routed_kernel_tv(
+                fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
+                vals, pvalid, dim_sorted, _np.int64(miss_key),
+                n_groups=n_groups, pack32=bool(pack32), dense=dense,
+                extra_pairs=pairs, extra_packs=packs, null_ix=null_ix,
             )
         else:
             out = _routed_kernel(
@@ -959,6 +1005,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
             + ("_dense" if dense else "")
             + ("_ck2" if composite else "")
             + ("_mxu" if used_mxu else "")
+            + ("_tv" if ordered and float_tv else "")
         )
     cache.pop(id(join.children[0]), None)  # consumed — don't leak into a
     cache.pop(id(join.children[1]), None)  # later executor walk

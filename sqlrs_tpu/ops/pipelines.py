@@ -438,6 +438,128 @@ def join_groupby_direct(
     return (sums, counts, *extra_out)
 
 
+def f64_orderable(v):
+    """IEEE-754 order-preserving bit transform: doubles (NaN excluded —
+    NULLs never reach this) map to int64 such that signed integer order ==
+    float order. Positives keep their bit pattern (sign clear => already
+    ordered); negatives flip all magnitude bits and keep the sign
+    (two's-complement: t = ~bits ^ minint64)."""
+    tu = jax.lax.bitcast_convert_type(v.astype(jnp.float64), jnp.int64)
+    m = jnp.int64(-(1 << 63))
+    return jnp.where(tu < 0, (~tu) ^ m, tu)
+
+
+def f64_from_orderable(t):
+    """Inverse of f64_orderable."""
+    m = jnp.int64(-(1 << 63))
+    bits = jnp.where(t >= 0, t, ~(t ^ m))
+    return jax.lax.bitcast_convert_type(bits, jnp.float64)
+
+
+@partial(
+    jax.jit, static_argnames=("n_groups", "pack32", "dense", "null_ix")
+)
+def join_groupby_minmax_tv(
+    fact_keys, fact_vals_f64, tv, dim_keys_sorted, dim_perm, n_groups: int,
+    pack32: bool, dense: bool = False, extra_vals=(), null_ix: int = -1,
+):
+    """fact⋈dim + GROUP BY key with MIN/MAX over a FLOAT/DOUBLE measure —
+    the float sibling of join_groupby_direct's with_minmax mode.
+
+    Floats cannot share the packed int operand with the key (a double needs
+    all 64 bits to preserve order), so the measure rides as a SECOND sort
+    operand carrying the order-preserving IEEE-754 bit transform
+    (f64_orderable) under num_keys=2: within each key's range, rows are
+    ordered by VALUE, so per-group min/max are the range's first/last
+    elements — two G-sized gathers, inverse-transformed in-program. The
+    measure's SUM rides as an f64 payload (payload prefix machinery), so
+    sum/avg/count over the same expression stay on the one kernel.
+
+    null_ix >= 0 is sentinel mode: the caller masks NULL tv entries to
+    int64 max (they sort to each range's tail) and passes the column's
+    validity as extra_vals[null_ix]; max then reads hi-1-nullcnt and the
+    f64 value payload is NULL-masked to 0 by the caller.
+
+    Output layout matches _routed_kernel's with_minmax shape:
+    (sums_f64, counts, mins_f64, maxs_f64, extra sums…)."""
+    if pack32:
+        keys_op = fact_keys.astype(jnp.int32)
+        dlo = dim_keys_sorted.astype(jnp.int32)
+    else:
+        keys_op = fact_keys
+        dlo = dim_keys_sorted
+    dhi = dlo + 1
+    n = keys_op.shape[0]
+    blk = 128
+    pad = (-n) % blk
+    evs = (fact_vals_f64.astype(jnp.float64),) + tuple(extra_vals)
+    if pad:
+        keys_op = jnp.concatenate(
+            [keys_op, jnp.full((pad,), jnp.iinfo(keys_op.dtype).max,
+                               keys_op.dtype)]
+        )
+        tv = jnp.concatenate(
+            [tv, jnp.full((pad,), jnp.iinfo(jnp.int64).max, jnp.int64)]
+        )
+        evs = tuple(
+            jnp.concatenate([e, jnp.zeros((pad,), e.dtype)]) for e in evs
+        )
+    sorted_all = lax.sort((keys_op, tv) + evs, num_keys=2)
+    sp, tvs, evs = sorted_all[0], sorted_all[1], sorted_all[2:]
+    nb = sp.shape[0] // blk
+    sp2d = sp.reshape(nb, blk)
+
+    g = dlo.shape[0]
+    if dense:
+        queries = jnp.concatenate([dlo, dhi[-1:]])
+        ranks = _sorted_ranks_left(sp2d, queries)
+        lo, hi = ranks[:g], ranks[1:]
+    else:
+        ranks = _sorted_ranks_left(sp2d, jnp.concatenate([dlo, dhi]))
+        lo, hi = ranks[:g], ranks[g:]
+    cnt_sorted = (hi - lo).astype(jnp.int64)
+
+    lane = jnp.arange(blk, dtype=jnp.int32)
+    b = ranks // blk
+    rem = (ranks % blk).astype(jnp.int32)
+    brow = jnp.clip(b, 0, nb - 1)
+    bcol = jnp.clip(b, 0, nb)
+    under = lane[None, :] < rem[:, None]
+    es_list = []
+    for e in evs:
+        acc_dt = (
+            jnp.float64 if jnp.issubdtype(e.dtype, jnp.floating)
+            else jnp.int64
+        )
+        e2d = e.reshape(nb, blk)
+        ebs = jnp.sum(e2d, axis=1, dtype=acc_dt)
+        ebp = jnp.concatenate([jnp.cumsum(ebs) - ebs, jnp.sum(ebs)[None]])
+        part = jnp.sum(
+            jnp.where(under, e2d[brow], jnp.zeros((), e2d.dtype)),
+            axis=1, dtype=acc_dt,
+        )
+        pr = ebp[bcol] + part
+        es_list.append((pr[1:] - pr[:g]) if dense else (pr[g:] - pr[:g]))
+    sum_sorted = es_list[0]
+    extra_sorted = es_list[1:]
+    nullcnt = None
+    if null_ix >= 0:
+        nullcnt = cnt_sorted - extra_sorted[null_ix]
+    last = tvs.shape[0] - 1
+    hi_eff = hi - 1 if nullcnt is None else hi - 1 - nullcnt
+    min_sorted = f64_from_orderable(tvs[jnp.clip(lo, 0, last)])
+    max_sorted = f64_from_orderable(tvs[jnp.clip(hi_eff, 0, last)])
+    sums = jnp.zeros((n_groups,), jnp.float64).at[dim_perm].set(sum_sorted)
+    counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
+    mins = jnp.zeros((n_groups,), jnp.float64).at[dim_perm].set(min_sorted)
+    maxs = jnp.zeros((n_groups,), jnp.float64).at[dim_perm].set(max_sorted)
+    extra_out = [
+        jnp.zeros((n_groups,), es.dtype).at[dim_perm].set(es)
+        for es in extra_sorted
+    ]
+    return (sums, counts, mins, maxs, *extra_out)
+
+
 @partial(jax.jit, static_argnames=("n_groups", "rid_bits", "dense"))
 def join_groupby_firstapp(
     fact_keys, fact_vals, dim_keys_sorted, dim_perm, n_groups: int,

@@ -742,8 +742,29 @@ def test_route_float_measures():
         routed, plain, fired = _both_ways(db, sql)
         assert any(expect in r for r in fired), (sql, fired)
         assert routed == plain, sql
-    # min/max over a float measure: needs key-packing -> falls back
-    sql = ("select d.k, min(f.x) from f join d on f.k = d.k "
+    # min/max over a float measure: routes via the two-operand tv kernel
+    # (order-preserving IEEE-754 transform as a second sort key)
+    for sql in [
+        ("select d.k, min(f.x) from f join d on f.k = d.k "
+         "group by d.k order by d.k"),
+        ("select d.k, min(f.x), max(f.x), sum(f.x), avg(f.x), count(*) "
+         "from f join d on f.k = d.k group by d.k order by d.k"),
+        # int payload rides alongside the float tv operand
+        ("select d.k, max(f.x), sum(f.w) from f join d on f.k = d.k "
+         "group by d.k order by d.k"),
+        # NULL-able float min/max: tv sentinel mode (NULLs sort to each
+        # range's tail; max reads hi-1-nullcnt)
+        ("select d.k, min(fn.x), max(fn.x), sum(fn.x), count(fn.x) "
+         "from fn join d on fn.k = d.k group by d.k order by d.k"),
+        # DESC stays on the tv kernel (finalize reverses)
+        ("select d.k, min(f.x), max(f.x) from f join d on f.k = d.k "
+         "group by d.k order by d.k desc"),
+    ]:
+        routed, plain, fired = _both_ways(db, sql)
+        assert any("_tv" in r for r in fired), (sql, fired)
+        assert routed == plain, sql
+    # float DISTINCT still falls back (needs value-equality packing)
+    sql = ("select d.k, count(distinct f.x) from f join d on f.k = d.k "
            "group by d.k order by d.k")
     routed, plain, fired = _both_ways(db, sql)
     assert not fired
