@@ -90,3 +90,30 @@ def test_tpch_distributed_shuffle_join(dist_shuffle_db_tables, qn):
     _check(db, tables, qn)
     strategies = getattr(db, "last_join_strategies", [])
     assert any(s in ("shuffle", "salted") for s in strategies), strategies
+
+
+@pytest.fixture(scope="module")
+def db_tables_sf05():
+    """SF 0.05: the smallest scale at which Q18's route has a non-empty
+    semi-filtered dim side (BASELINE.md round 4)."""
+    tables = tpch_dbgen.gen_tables(0.05, seed=3)
+    db = sqlrs_tpu.Database()
+    tpch_dbgen.load_into(db, tables)
+    return db, tables
+
+
+@pytest.mark.parametrize("qn", [3, 18])
+def test_tpch_flagship_queries_route(db_tables_sf05, qn):
+    """Round-4 VERDICT item 4: pin the REAL Q3/Q18 routing — a planner
+    change that un-routes either flagship query fails here. Runs the
+    actual query texts at SF 0.05 and asserts both the fused-route tag
+    AND oracle equality."""
+    db, tables = db_tables_sf05
+    db.last_fused_routes = []
+    got = tpch.run_query(db, qn)
+    assert any(
+        r.startswith("agg_join_firstapp") for r in db.last_fused_routes
+    ), (qn, db.last_fused_routes)
+    exp = tpch_oracle.ORACLES[qn](tables)
+    issues = tpch.compare(got, exp, qn)
+    assert not issues, issues[:5]
