@@ -240,14 +240,14 @@ def _sorted_ranks_left(sp2d, queries):
     jax.jit,
     static_argnames=(
         "n_groups", "val_bits", "pack32", "dense", "with_minmax",
-        "with_distinct", "null_ix",
+        "with_distinct", "null_ix", "shared",
     ),
 )
 def join_groupby_direct(
     fact_keys, fact_vals, dim_keys_sorted, dim_perm, n_groups: int,
     val_bits: int, pack32: bool, dense: bool = False,
     with_minmax: bool = False, with_distinct: bool = False, extra_vals=(),
-    null_ix: int = -1,
+    null_ix: int = -1, shared: bool = False,
 ):
     """The speed-of-light formulation of fact⋈dim + GROUP BY dim_row for
     unique dim keys: sort + prefix sum + 2G binary searches. No run-boundary
@@ -356,9 +356,15 @@ def join_groupby_direct(
     # (nb+2G) sort, then rank AND value-prefix inside a single gathered
     # block per query
     g = dlo.shape[0]
-    if dense:
-        # consecutive dim keys: dhi[i] == dlo[i+1], so G+1 shared boundary
-        # queries replace the 2G lo/hi pairs — half the rank-row gathers
+    if dense or shared:
+        # G+1 shared boundary queries replace the 2G lo/hi pairs — half
+        # the rank-row gathers. Exact in two regimes: dense (consecutive
+        # dim keys: dhi[i] == dlo[i+1] identically), or `shared` — the
+        # caller asserts NO fact key falls strictly between consecutive
+        # dim keys (FK-complete star joins: every fact key matches some
+        # dim, the referential-integrity norm). Then range i ends exactly
+        # where range i+1 begins and the boundary differences are the true
+        # per-key sums/counts.
         queries = jnp.concatenate([dlo, dhi[-1:]])
         ranks, prefixes = _ranks_and_value_prefix(sp2d, queries, vmask, bp)
         lo, hi = ranks[:g], ranks[1:]
@@ -401,7 +407,10 @@ def join_groupby_direct(
                 axis=1, dtype=acc_dt,
             )
             pr = ebp[jnp.clip(b, 0, nb)] + part
-            es_list.append((pr[1:] - pr[:g]) if dense else (pr[g:] - pr[:g]))
+            es_list.append(
+                (pr[1:] - pr[:g]) if (dense or shared)
+                else (pr[g:] - pr[:g])
+            )
     nullcnt = None
     if null_ix >= 0:
         # sentinel mode: the caller masked NULL packed values to vmask
@@ -666,7 +675,7 @@ def make_join_groupby(n_groups: int, strategy: str = "direct", slack: int = 2):
         def fn_direct(
             fact_keys, fact_vals, dim_keys, val_bits: int = 7,
             pack32=None, key_max=None, val_max=None,
-            dim_min=None, dim_max=None,
+            dim_min=None, dim_max=None, fk_complete: bool = False,
         ):
             # pack32/val_bits contract: max(key) < 2^(31-val_bits) and
             # 0 <= value < 2^val_bits. When the caller passes host-known
@@ -708,9 +717,13 @@ def make_join_groupby(n_groups: int, strategy: str = "direct", slack: int = 2):
                 )
             order = jnp.argsort(dim_keys)
             dim_sorted = dim_keys[order]
+            # fk_complete (caller-asserted referential integrity: every
+            # fact key matches some dim key) lets NON-dense dims share
+            # range boundaries too — half the latency-bound rank gathers
             return join_groupby_direct(
                 fact_keys, fact_vals, dim_sorted, order, n_groups,
                 val_bits, bool(pack32), dense,
+                shared=bool(fk_complete) and not dense,
             )
 
         return fn_direct

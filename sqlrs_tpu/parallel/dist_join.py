@@ -620,3 +620,172 @@ def ring_agg_join(
         for j in range(n_mm)
     ]
     return counts, sums, min_rowid, mm_outs
+
+
+def broadcast_agg_join(
+    mesh,
+    f_enc,
+    f_ok,
+    f_rowid,
+    sum_cols,
+    mm_specs,
+    d_enc,
+    d_ok,
+    axis="x",
+):
+    """Broadcast sibling of ring_agg_join for SMALL dim sides — the
+    distributed unification of the single-device fused star-rollup route
+    (round-4 VERDICT item 5): instead of materializing join pairs per shard
+    and re-aggregating through the general sorted path, each shard runs the
+    join_groupby_direct formulation (one local fact sort + merge-ranked
+    range queries) against the FULL dim side, replicated by ONE tiled
+    all_gather (O(G) bytes), and the per-dim-row partials combine with one
+    psum/pmin. Compared to the ring: 2 collective launches instead of
+    n_dev ppermute steps — the right trade when the dim side fits
+    comfortably in every shard (the auto policy's small-build regime).
+
+    Same argument and return contract as ring_agg_join: per-LOCAL-dim-row
+    (counts, sums, min_rowid, mm_outs), aligned with the dim side's
+    P(axis) layout."""
+    from sqlrs_tpu.ops.pipelines import _sorted_ranks_left
+
+    n_dev = mesh.shape[axis]
+    n_sum = len(sum_cols)
+    n_mm = len(mm_specs)
+    d_cap = d_enc.shape[0]
+    chunk = d_cap // n_dev
+    args = (
+        [f_enc, f_ok, f_rowid]
+        + list(sum_cols)
+        + [a for pair in mm_specs for a in pair]
+        + [d_enc, d_ok]
+    )
+
+    def local(f_enc_l, f_ok_l, f_rowid_l, *rest):
+        scols = rest[:n_sum]
+        mmflat = rest[n_sum : n_sum + 2 * n_mm]
+        d_enc_l, d_ok_l = rest[-2:]
+        n_local = f_enc_l.shape[0]
+        key = jnp.where(f_ok_l, f_enc_l, _MAXK)
+
+        # ---- local fact probe tables (identical to the ring's) -----------
+        base = jax.lax.sort((key, f_rowid_l) + tuple(scols), num_keys=2)
+        ks, rid_s = base[0], base[1]
+        k2d = _blockify(ks, _MAXK)
+        nb = k2d.shape[0]
+        sum_tables = []
+        for sv in base[2:]:
+            v2d = _blockify(sv, jnp.zeros((), sv.dtype))
+            bs = jnp.sum(v2d, axis=1)
+            bp = jnp.concatenate([jnp.cumsum(bs) - bs, jnp.sum(bs)[None]])
+            sum_tables.append((v2d, bp))
+        mm_sorted = []
+        for j in range(n_mm):
+            mk, raw = mmflat[2 * j], mmflat[2 * j + 1]
+            _, mk_s, raw_s = jax.lax.sort((key, mk, raw), num_keys=2)
+            mm_sorted.append((mk_s, raw_s))
+
+        lane = jnp.arange(_BLK, dtype=jnp.int32)
+
+        def prefix_at(tbl, pos):
+            v2d, bp = tbl
+            b = pos // _BLK
+            rem = (pos % _BLK).astype(jnp.int32)
+            rows = v2d[jnp.clip(b, 0, nb - 1)]
+            part = jnp.sum(
+                jnp.where(lane[None, :] < rem[:, None], rows, 0), axis=1
+            )
+            return bp[b] + part
+
+        # ---- broadcast the dim side: ONE tiled all_gather (O(G)) ---------
+        d_enc_g = jax.lax.all_gather(d_enc_l, axis, tiled=True)
+        d_ok_g = jax.lax.all_gather(d_ok_l, axis, tiled=True)
+        dlo = jnp.where(d_ok_g, d_enc_g, _MAXK)
+        dhi = jnp.where(d_ok_g, d_enc_g + 1, _MAXK)
+        ranks = _sorted_ranks_left(k2d, jnp.concatenate([dlo, dhi]))
+        lo, hi = ranks[:d_cap], ranks[d_cap:]
+        cnt = hi - lo
+        lo_c = jnp.clip(lo, 0, max(n_local - 1, 0))
+        big_rid = jnp.int64(np.iinfo(np.int64).max)
+        rid_l = jnp.where(cnt > 0, rid_s[lo_c], big_rid)
+        sums_l = [
+            prefix_at(tbl, hi) - prefix_at(tbl, lo) for tbl in sum_tables
+        ]
+        mm_l = [
+            (
+                jnp.where(cnt > 0, mk_s[lo_c], _MAXK),
+                raw_s[lo_c],
+            )
+            for mk_s, raw_s in mm_sorted
+        ]
+
+        # ---- one psum/pmin combine + own-chunk slice ---------------------
+        idx = jax.lax.axis_index(axis)
+        start = (idx.astype(jnp.int64) * chunk,)
+
+        def own(a):
+            return jax.lax.dynamic_slice(a, start, (chunk,))
+
+        cnt_g = own(jax.lax.psum(cnt, axis))
+        rid_g = own(jax.lax.pmin(rid_l, axis))
+        sums_g = tuple(own(jax.lax.psum(a, axis)) for a in sums_l)
+        mm_g = []
+        for kk, ra in mm_l:
+            gmin = jax.lax.pmin(kk, axis)
+            mine = kk == gmin
+            shard_sel = jax.lax.pmin(
+                jnp.where(mine, idx, n_dev).astype(jnp.int32), axis
+            )
+            raw_g = jax.lax.psum(
+                jnp.where(
+                    mine & (shard_sel == idx), ra, jnp.zeros((), ra.dtype)
+                ),
+                axis,
+            )
+            mm_g.append((own(raw_g), own(gmin)))
+        return (
+            (cnt_g, rid_g)
+            + sums_g
+            + tuple(a for pair in mm_g for a in pair)
+        )
+
+    outs = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * len(args),
+        out_specs=(P(axis),) * (2 + n_sum + 2 * n_mm),
+    )(*args)
+    counts, min_rowid = outs[0], outs[1]
+    sums = outs[2 : 2 + n_sum]
+    mm_outs = [
+        (outs[2 + n_sum + 2 * j], outs[2 + n_sum + 2 * j + 1])
+        for j in range(n_mm)
+    ]
+    return counts, sums, min_rowid, mm_outs
+
+
+def pair_local_dedup(mesh, keys, vals, ok, axis="x"):
+    """Shard-local sorted-unique over (key, value) pairs: sort the pairs
+    (num_keys=2, no scatter — output stays in sorted order, which is all a
+    SET needs) and flag first occurrences. The building block of the
+    cross-shard DISTINCT path: dedup locally, exchange by key hash
+    (partition_shuffle), dedup again — every surviving (key, value) pair
+    is then globally unique and lives on exactly one shard."""
+    def local(k, v, o):
+        kk = jnp.where(o, k, _MAXK)
+        sk, sv = jax.lax.sort((kk, v), num_keys=2)
+        first = jnp.concatenate(
+            [
+                jnp.ones((1,), jnp.bool_),
+                (sk[1:] != sk[:-1]) | (sv[1:] != sv[:-1]),
+            ]
+        )
+        keep = first & (sk != _MAXK)
+        return sk, sv, keep
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(keys, vals, ok)

@@ -274,14 +274,26 @@ def test_ring_agg_over_join():
     for q in qs:
         assert db8.run_lines(q) == db1.run_lines(q), q
         assert "ring" in db8.last_join_strategies, (q, db8.last_join_strategies)
-    # auto policy keeps small builds on broadcast (ring gated by
-    # dist_ring_min_build), and the gate is overridable
+    # auto policy sends small builds through the broadcast-FUSED shard
+    # kernel (dist_join.broadcast_agg_join: one O(G) all_gather + one
+    # shard-local join_groupby_direct-style probe pass — round-4 VERDICT
+    # item 5, no per-shard pair materialization); the ring gate
+    # (dist_ring_min_build) is overridable. Bit-exact vs single-device
+    # either way, including min/max, NULLs and first-appearance order.
     db8.dist_join_policy = "auto"
-    assert db8.run_lines(qs[0]) == db1.run_lines(qs[0])
-    assert db8.last_join_strategies == ["broadcast"]
+    for q in qs:
+        assert db8.run_lines(q) == db1.run_lines(q), q
+        assert "broadcast_fused" in db8.last_join_strategies, (
+            q, db8.last_join_strategies,
+        )
     db8.dist_ring_min_build = 1
     assert db8.run_lines(qs[0]) == db1.run_lines(qs[0])
     assert db8.last_join_strategies == ["ring"]
+    del db8.dist_ring_min_build
+    # explicit broadcast policy remains the general-path escape hatch
+    db8.dist_join_policy = "broadcast"
+    assert db8.run_lines(qs[0]) == db1.run_lines(qs[0])
+    assert db8.last_join_strategies == ["broadcast"]
 
 
 def test_ring_exchange_sql_shuffle_join_bit_exact():
@@ -378,3 +390,65 @@ def test_ring_agg_join_avg_float_composite():
          " on fact.a = dim.a group by dim.g")
     assert db8.run_lines(q) == db1.run_lines(q)
     assert "ring" not in db8.last_join_strategies
+
+
+def test_distinct_on_fused_dist_path():
+    """Round-4 VERDICT item 7: count/sum/avg(DISTINCT) over a sharded join
+    stays on the fused path (ring AND broadcast_fused) — shard-local
+    sorted-unique + key-hash pair exchange + a second fused pass — when
+    the groups are refined by the join key. Bit-exact vs single-device."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    nd, nf = 24, 800
+    # duplicate dim keys exercise the equal-partials/max-combine rule
+    dks = list(range(nd)) + [3, 7]
+    rows_d = ",".join(f"({k},{k % 5})" for k in dks)
+    parts = []
+    for i in range(nf):
+        k = int(rng.integers(0, nd + 6))  # misses included
+        v = int(rng.integers(-9, 9))      # few distinct values -> overlap
+        x = (int(rng.integers(-40, 40))) / 4.0  # dyadic floats
+        if i % 11 == 0:
+            parts.append(f"({k},NULL,{x})")
+        else:
+            parts.append(f"({k},{v},{x})")
+    ddl = [
+        "create table dim(k int, g int)",
+        "create table fact(k int, v int, x double)",
+        f"insert into dim values {rows_d}",
+        f"insert into fact values {','.join(parts)}",
+    ]
+    db1 = Database()
+    db8 = Database(n_devices=8)
+    for db in (db1, db8):
+        for s in ddl:
+            db.run(s)
+    qs = [
+        # group == join key (the soundness condition)
+        "select dim.k, count(distinct fact.v), count(*) from dim join fact"
+        " on fact.k = dim.k group by dim.k",
+        "select dim.k, sum(distinct fact.v), avg(distinct fact.v) from dim"
+        " join fact on fact.k = dim.k group by dim.k",
+        # group by (key, attr): still refined by the key
+        "select dim.k, dim.g, count(distinct fact.v), sum(fact.v) from dim"
+        " join fact on fact.k = dim.k group by dim.k, dim.g",
+        # DOUBLE distinct measure
+        "select dim.k, count(distinct fact.x), sum(distinct fact.x) from"
+        " dim join fact on fact.k = dim.k group by dim.k",
+    ]
+    for policy, tag in (("auto", "broadcast_fused"), ("ring", "ring")):
+        db8.dist_join_policy = policy
+        for q in qs:
+            assert db8.run_lines(q) == db1.run_lines(q), (policy, q)
+            assert tag in db8.last_join_strategies, (
+                policy, q, db8.last_join_strategies,
+            )
+    # groups NOT refined by the key: falls back, stays correct
+    db8.dist_join_policy = "auto"
+    q = ("select dim.g, count(distinct fact.v) from dim join fact"
+         " on fact.k = dim.k group by dim.g")
+    assert db8.run_lines(q) == db1.run_lines(q)
+    assert not any(
+        s in ("ring", "broadcast_fused") for s in db8.last_join_strategies
+    )
