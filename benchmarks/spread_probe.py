@@ -82,26 +82,31 @@ def main(argv=None):
     k32 = (fk % jnp.int64(1 << 31)).astype(jnp.int32)
     v32 = fv.astype(jnp.int32)
 
+    # operands must be jit ARGUMENTS (a closure would embed the 268 MB
+    # arrays as program constants — the relay rejects the upload)
+    @jax.jit
+    def _s1(x):
+        return lax.sort(x)
+
+    @partial(jax.jit, static_argnames=("nk",))
+    def _s2(x, y, nk: int):
+        return lax.sort((x, y), num_keys=nk)
+
     prims = {
-        "sort_int64": lambda: lax.sort(pk64),
-        "sort_int32": lambda: lax.sort(k32),
-        "sort_int64_plus_i64payload": lambda: lax.sort(
-            (pk64, fk), num_keys=1
-        ),
-        "sort_int32_plus_i32payload": lambda: lax.sort(
-            (k32, v32), num_keys=1
-        ),
-        "sort_2key_int32_int32": lambda: lax.sort((k32, v32), num_keys=2),
-        "sort_2key_int64_int64": lambda: lax.sort((pk64, fk), num_keys=2),
+        "sort_int64": lambda: _s1(pk64),
+        "sort_int32": lambda: _s1(k32),
+        "sort_int64_plus_i64payload": lambda: _s2(pk64, fk, nk=1),
+        "sort_int32_plus_i32payload": lambda: _s2(k32, v32, nk=1),
+        "sort_2key_int32_int32": lambda: _s2(k32, v32, nk=2),
+        "sort_2key_int64_int64": lambda: _s2(pk64, fk, nk=2),
     }
     for name, mk in prims.items():
-        f = jax.jit(lambda mk=mk: mk())
-        out = f()
+        out = mk()
         arr = out[0] if isinstance(out, (tuple, list)) else out
         float(arr[0])  # materialize
 
-        def run(f=f):
-            o = f()
+        def run(mk=mk):
+            o = mk()
             a = o[0] if isinstance(o, (tuple, list)) else o
             float(a[0])
 

@@ -95,19 +95,58 @@ def _route_stats(dim_keys, dim_valid, fact_keys, fact_valid, datas, valids):
     big = jnp.iinfo(jnp.int64).max
     for v in valids:
         parts.append(jnp.all(v).astype(jnp.int64)[None])
-    # float value columns never pack into the sort key (they ride as
-    # payloads), so their min/max are irrelevant — emit placeholder zeros
-    # rather than casting ±inf-masked floats to int64
+    # FLOAT/DOUBLE value columns: detect k-dp decimals (k in 0/2/4/6 —
+    # TPC-H measures and their products) so their sums can run in EXACT
+    # integer arithmetic. Without this, per-group sums are differences of
+    # GLOBAL f64 prefix sums, whose accumulated rounding (~ulp(total) *
+    # sqrt(nblocks)) is amplified against small group sums — measured
+    # 2e-9 relative on Q3 revenue at SF1, outside the oracle tolerance.
+    # kcode = smallest integral k (or -1); min/max slots then carry the
+    # SCALED int range (drives int32 payload packing).
+    kcodes = []
     for d, v in zip(datas, valids):
-        if jnp.issubdtype(d.dtype, jnp.floating):
-            parts.append(jnp.zeros((1,), jnp.int64))
-        else:
+        if not jnp.issubdtype(d.dtype, jnp.floating):
+            kcodes.append(None)
+            continue
+        f = d.astype(jnp.float64)
+        kc = jnp.float64(-1.0)
+        for k in (6, 4, 2, 0):  # descending: smallest k wins last
+            s = f * (10.0 ** k)
+            fr = jnp.abs(s - jnp.round(s))
+            row_ok = fr <= (1e-5 + jnp.abs(s) * 1e-12)
+            allok = jnp.all(jnp.where(v, row_ok, True)) & (
+                jnp.max(jnp.where(v, jnp.abs(s), 0.0)) < float(1 << 46)
+            )
+            kc = jnp.where(allok, jnp.float64(k), kc)
+        kcodes.append(kc)
+
+    def _scale_of(kc):
+        return jnp.where(
+            kc == 0, 1.0,
+            jnp.where(kc == 2, 1e2, jnp.where(kc == 4, 1e4, 1e6)),
+        )
+
+    for d, v, kc in zip(datas, valids, kcodes):
+        if kc is None:
             parts.append(jnp.min(jnp.where(v, d.astype(jnp.int64), big))[None])
-    for d, v in zip(datas, valids):
-        if jnp.issubdtype(d.dtype, jnp.floating):
-            parts.append(jnp.zeros((1,), jnp.int64))
         else:
+            s = jnp.round(d.astype(jnp.float64) * _scale_of(kc)).astype(
+                jnp.int64
+            )
+            parts.append(jnp.min(jnp.where(v, s, big))[None])
+    for d, v, kc in zip(datas, valids, kcodes):
+        if kc is None:
             parts.append(jnp.max(jnp.where(v, d.astype(jnp.int64), -big))[None])
+        else:
+            s = jnp.round(d.astype(jnp.float64) * _scale_of(kc)).astype(
+                jnp.int64
+            )
+            parts.append(jnp.max(jnp.where(v, s, -big))[None])
+    for kc in kcodes:
+        parts.append(
+            jnp.full((1,), -1, jnp.int64) if kc is None
+            else kc.astype(jnp.int64)[None]
+        )
     return ks, jnp.concatenate(parts)
 
 
@@ -147,17 +186,30 @@ def _combine_keys(f1, f1v, f2, f2v, d1, d1v, d2, d2v):
     return fact_ck, fact_ok, dim_ck, d12v, meta
 
 
-def _mask_payloads(pairs, packs):
+def _mask_payloads(pairs, packs, scales=None):
     """(data, valid|None) pairs -> payload arrays, NULLs as 0 (adds nothing
     to the payload sums; their count rides a validity payload). packs[i]
     selects int32 (range-checked by the caller — the sort is HBM-bound, so
     narrower payloads are proportionally cheaper); cast precedes masking so
-    wrapped garbage in NULL slots is zeroed. FLOAT/DOUBLE payloads keep
-    their own width through the sort (f32 rides at half traffic) and
-    accumulate float64 inside the kernels."""
+    wrapped garbage in NULL slots is zeroed. FLOAT/DOUBLE payloads whose
+    values are k-dp decimals (scales[i] >= 0, detected by _route_stats)
+    ride as SCALED ints — their per-group sums are then EXACT integer
+    arithmetic instead of f64 prefix differences (whose accumulated
+    rounding is amplified against small group sums at scale); the finalize
+    program divides by 10^k. Non-decimal floats keep their own width and
+    accumulate float64."""
     out = []
-    for (d, v), p32 in zip(pairs, packs):
+    scales = scales or (-1,) * len(pairs)
+    for (d, v), p32, sc in zip(pairs, packs, scales):
         if jnp.issubdtype(d.dtype, jnp.floating):
+            if sc is not None and sc >= 0:
+                x = jnp.round(d.astype(jnp.float64) * (10.0 ** sc)).astype(
+                    jnp.int32 if p32 else jnp.int64
+                )
+                if v is not None:
+                    x = jnp.where(v, x, jnp.zeros((), x.dtype))
+                out.append(x)
+                continue
             x = d
             if v is not None:
                 x = jnp.where(v, x, jnp.zeros((), d.dtype))
@@ -175,13 +227,14 @@ def _mask_payloads(pairs, packs):
     jax.jit,
     static_argnames=(
         "n_groups", "val_bits", "pack32", "dense", "with_minmax",
-        "with_distinct", "extra_packs", "null_ix",
+        "with_distinct", "extra_packs", "extra_scales", "null_ix",
     ),
 )
 def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
                    n_groups: int, val_bits: int, pack32: bool, dense: bool,
                    with_minmax: bool, with_distinct: bool = False,
-                   extra_pairs=(), extra_packs=(), null_ix: int = -1):
+                   extra_pairs=(), extra_packs=(), extra_scales=(),
+                   null_ix: int = -1):
     """Masked fact rows -> out-of-span key, then the direct kernel.
 
     dim_sorted is already sorted so dim_perm is the identity and the output
@@ -201,17 +254,22 @@ def _routed_kernel(fkeys, fvalid, fvals, fvals_valid, dim_sorted, miss_key,
     return join_groupby_direct(
         fk, fv, dim_sorted.astype(jnp.int64), perm, n_groups, val_bits, pack32,
         dense=dense, with_minmax=with_minmax, with_distinct=with_distinct,
-        extra_vals=_mask_payloads(extra_pairs, extra_packs), null_ix=null_ix,
+        extra_vals=_mask_payloads(extra_pairs, extra_packs, extra_scales),
+        null_ix=null_ix,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_groups", "pack32", "dense", "extra_packs", "null_ix"),
+    static_argnames=(
+        "n_groups", "pack32", "dense", "extra_packs", "extra_scales",
+        "sum_scale", "null_ix",
+    ),
 )
 def _routed_kernel_tv(fkeys, fvalid, fvals, fvals_valid, dim_sorted,
                       miss_key, n_groups: int, pack32: bool, dense: bool,
-                      extra_pairs=(), extra_packs=(), null_ix: int = -1):
+                      extra_pairs=(), extra_packs=(), extra_scales=(),
+                      sum_scale: int = -1, null_ix: int = -1):
     """min/max over a FLOAT/DOUBLE measure: the measure rides as a SECOND
     sort operand under the order-preserving IEEE-754 bit transform
     (ops/pipelines.join_groupby_minmax_tv) — the route's answer to floats
@@ -223,16 +281,22 @@ def _routed_kernel_tv(fkeys, fvalid, fvals, fvals_valid, dim_sorted,
     fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
     v64 = fvals.astype(jnp.float64)
     tv = f64_orderable(v64)
+    if sum_scale >= 0:
+        # k-dp decimal measure: the SUM payload rides as scaled int64 —
+        # exact integer sums, divided back by the finalize program
+        vpay = jnp.round(v64 * (10.0 ** sum_scale)).astype(jnp.int64)
+    else:
+        vpay = v64
     if fvals_valid is not None:
         tv = jnp.where(
             fvals_valid, tv, jnp.int64(jnp.iinfo(jnp.int64).max)
         )
-        v64 = jnp.where(fvals_valid, v64, jnp.float64(0.0))
+        vpay = jnp.where(fvals_valid, vpay, jnp.zeros((), vpay.dtype))
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_minmax_tv(
-        fk, v64, tv, dim_sorted.astype(jnp.int64), perm, n_groups,
+        fk, vpay, tv, dim_sorted.astype(jnp.int64), perm, n_groups,
         pack32, dense=dense,
-        extra_vals=_mask_payloads(extra_pairs, extra_packs),
+        extra_vals=_mask_payloads(extra_pairs, extra_packs, extra_scales),
         null_ix=null_ix,
     )
 
@@ -253,17 +317,19 @@ def _routed_kernel_mxu(fkeys, fvalid, fvals, key_min, n_groups: int,
 
 
 @partial(
-    jax.jit, static_argnames=("n_groups", "rid_bits", "dense", "packs")
+    jax.jit,
+    static_argnames=("n_groups", "rid_bits", "dense", "packs", "scales"),
 )
 def _routed_kernel_firstapp(fkeys, fvalid, pairs, dim_sorted, miss_key,
                             n_groups: int, rid_bits: int, dense: bool,
-                            packs=()):
+                            packs=(), scales=()):
     from sqlrs_tpu.ops.pipelines import join_groupby_firstapp
 
     fk = jnp.where(fvalid, fkeys, miss_key).astype(jnp.int64)
     perm = jnp.arange(n_groups, dtype=jnp.int64)
     return join_groupby_firstapp(
-        fk, _mask_payloads(pairs, packs), dim_sorted.astype(jnp.int64), perm,
+        fk, _mask_payloads(pairs, packs, scales),
+        dim_sorted.astype(jnp.int64), perm,
         n_groups, rid_bits, dense=dense,
     )
 
@@ -283,10 +349,13 @@ def _compact_nonempty(dim_sorted, arrays):
 
 @partial(
     jax.jit,
-    static_argnames=("n_out", "spec", "reorder", "order_ix", "reverse"),
+    static_argnames=(
+        "n_out", "spec", "reorder", "order_ix", "reverse", "fscales",
+    ),
 )
 def _finalize(arrays, n_out: int, spec, reorder: bool = False,
-              order_ix: int = -1, reverse: bool = False):
+              order_ix: int = -1, reverse: bool = False, fscales=None,
+              fdivs=None):
     """Emit every output column in ONE program. spec entries are
     (op, ai, bi, dtype, vop, vai): op 'slice' takes arrays[ai], 'div'
     computes float64 arrays[ai]/max(arrays[bi],1); dtype (np.dtype or
@@ -309,9 +378,19 @@ def _finalize(arrays, n_out: int, spec, reorder: bool = False,
 
     ones = jnp.ones((n_out,), jnp.bool_)
     outs = []
-    for op, ai, bi, dt, vop, vai in spec:
+    if fscales is None:
+        fscales = (-1,) * len(spec)
+    if fdivs is None:
+        fdivs = (jnp.float64(1.0),) * len(spec)
+    # the 10^k divisor rides as a TRACED operand: a constant denominator
+    # gets strength-reduced by XLA into multiplication by the (inexact)
+    # reciprocal, costing 1 ulp on ~a quarter of groups — a runtime
+    # operand forces a true, correctly-rounded division
+    for (op, ai, bi, dt, vop, vai), fsc, fdv in zip(spec, fscales, fdivs):
         if op == "slice":
             src = take(arrays[ai])
+            if fsc >= 0:  # scaled-int decimal sum: divide back by 10^k
+                src = src.astype(jnp.float64) / fdv
             if dt is not None:
                 src = src.astype(dt)
         elif op in ("majk", "mink"):
@@ -326,6 +405,8 @@ def _finalize(arrays, n_out: int, spec, reorder: bool = False,
                 src = src.astype(dt)
         else:  # "div"
             num = take(arrays[ai]).astype(jnp.float64)
+            if fsc >= 0:
+                num = num / fdv
             den = jnp.maximum(take(arrays[bi]), 1).astype(jnp.float64)
             src = num / den
             if dt is not None:
@@ -697,6 +778,7 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
     nullable: list[bool] = []
     fits32: list[bool] = []
     vmins = vmaxs = ()
+    kscales: list[int] = []
     if val_cols:
         # NULL-able value columns are handled with masked payloads (NULL
         # sums as 0) plus one validity payload each for the per-group
@@ -707,9 +789,19 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
         vmins = meta[6 + nv:6 + 2 * nv]
         vmaxs = meta[6 + 2 * nv:6 + 3 * nv]
         nullable = [not bool(f) for f in flags]
+        # k-dp decimal scale per float column (-1: not a decimal / int
+        # col); float min/max slots carry the SCALED int range. Scaled
+        # payloads whose worst-case total could round in int64 fall back
+        # to f64 payloads.
+        kscales = [int(x) for x in meta[6 + 3 * nv:6 + 4 * nv]]
+        for k in range(nv):
+            if expr_float[k] and kscales[k] >= 0:
+                mag = max(abs(int(vmins[k])), abs(int(vmaxs[k])), 1)
+                if mag * n_fact >= (1 << 62):
+                    kscales[k] = -1
         lo32, hi32 = -(1 << 31), (1 << 31) - 1
         fits32 = [
-            not expr_float[k] and (
+            (not expr_float[k] or kscales[k] >= 0) and (
                 int(mn) > int(mx)  # no valid rows: masked zeros
                 or (lo32 < int(mn) and int(mx) < hi32)
             )
@@ -787,6 +879,9 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
         packs = tuple(fits32[k] for k in extra_ixs) + tuple(
             True for _ in valid_ixs  # 0/1 flags always fit
         )
+        scales_t = tuple(
+            kscales[k] if expr_float[k] else -1 for k in extra_ixs
+        ) + tuple(-1 for _ in valid_ixs)
         # sentinel mode: the packed column's validity payload position
         null_ix = (
             len(extra_ixs) + valid_ixs.index(packed_ix)
@@ -812,7 +907,9 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
                 fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
                 vals, pvalid, dim_sorted, _np.int64(miss_key),
                 n_groups=n_groups, pack32=bool(pack32), dense=dense,
-                extra_pairs=pairs, extra_packs=packs, null_ix=null_ix,
+                extra_pairs=pairs, extra_packs=packs,
+                extra_scales=scales_t,
+                sum_scale=kscales[packed_ix], null_ix=null_ix,
             )
         else:
             out = _routed_kernel(
@@ -821,7 +918,8 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
                 n_groups=n_groups, val_bits=val_bits, pack32=bool(pack32),
                 dense=dense, with_minmax=with_minmax,
                 with_distinct=with_distinct,
-                extra_pairs=pairs, extra_packs=packs, null_ix=null_ix,
+                extra_pairs=pairs, extra_packs=packs,
+                extra_scales=scales_t, null_ix=null_ix,
             )
         # kernel layout: sums_packed, counts, [mins, maxs,] [dcnt, dsum,]
         # extra sums…, validity counts…
@@ -844,13 +942,19 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
             (val_cols[k].valid.astype(jnp.int32), None) for k in valid_ixs
         )
         packs = tuple(fits32) + tuple(True for _ in valid_ixs)
+        scales_t = tuple(
+            kscales[k] if expr_float[k] else -1
+            for k in range(len(val_cols))
+        ) + tuple(-1 for _ in valid_ixs)
         if not pairs:
             pairs = ((jnp.zeros((n_fact,), jnp.int32), None),)
             packs = (True,)
+            scales_t = (-1,)
         out = _routed_kernel_firstapp(
             fact_key_col.data.astype(jnp.int64), fact_key_col.valid,
             pairs, dim_sorted, _np.int64(miss_key),
             n_groups=n_groups, rid_bits=rid_bits, dense=dense, packs=packs,
+            scales=scales_t,
         )
         # kernel layout: sums_0, counts, firsts, sums_1…, validity counts…
         expr_src = {k: (0 if k == 0 else k + 2) for k in range(len(val_cols))}
@@ -928,9 +1032,16 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
                 )
                 col_types.append(gtype)
     cnt_ai = A + 1
+    fscales_l: list[int] = [-1] * len(spec)  # group columns: no scaling
     for (kind, ix), a in zip(specs, agg.aggregates):
         rt = a.return_type()
         dt = numpy_dtype_for(rt)
+        fscales_l.append(
+            kscales[ix]
+            if kind in ("sum", "avg") and ix is not None
+            and expr_float[ix] and kscales[ix] >= 0
+            else -1
+        )
         if kind == "sum":
             vop, vai = (
                 ("gt0", A + expr_vcnt[ix]) if ix in expr_vcnt
@@ -990,6 +1101,11 @@ def _try_route(executor, op, agg, ordered: bool, reverse: bool = False,
     flat = _finalize(
         fin_arrays, n_out, tuple(spec),
         reorder=reorder, order_ix=order_ix, reverse=reverse,
+        fscales=tuple(fscales_l),
+        fdivs=tuple(
+            jnp.float64(10.0 ** f) if f >= 0 else jnp.float64(1.0)
+            for f in fscales_l
+        ),
     )
     cols = [
         Column(t, flat[2 * i], flat[2 * i + 1])

@@ -501,7 +501,9 @@ def join_groupby_minmax_tv(
     n = keys_op.shape[0]
     blk = 128
     pad = (-n) % blk
-    evs = (fact_vals_f64.astype(jnp.float64),) + tuple(extra_vals)
+    # the sum payload keeps its caller-chosen dtype: f64 for true floats,
+    # scaled int64 for k-dp decimals (exact integer accumulation)
+    evs = (fact_vals_f64,) + tuple(extra_vals)
     if pad:
         keys_op = jnp.concatenate(
             [keys_op, jnp.full((pad,), jnp.iinfo(keys_op.dtype).max,
@@ -558,7 +560,9 @@ def join_groupby_minmax_tv(
     hi_eff = hi - 1 if nullcnt is None else hi - 1 - nullcnt
     min_sorted = f64_from_orderable(tvs[jnp.clip(lo, 0, last)])
     max_sorted = f64_from_orderable(tvs[jnp.clip(hi_eff, 0, last)])
-    sums = jnp.zeros((n_groups,), jnp.float64).at[dim_perm].set(sum_sorted)
+    sums = jnp.zeros((n_groups,), sum_sorted.dtype).at[dim_perm].set(
+        sum_sorted
+    )
     counts = jnp.zeros((n_groups,), jnp.int64).at[dim_perm].set(cnt_sorted)
     mins = jnp.zeros((n_groups,), jnp.float64).at[dim_perm].set(min_sorted)
     maxs = jnp.zeros((n_groups,), jnp.float64).at[dim_perm].set(max_sorted)

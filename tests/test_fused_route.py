@@ -923,3 +923,47 @@ def test_route_mxu_kernel_matches_general_path(monkeypatch):
     routed4, plain4, fired4 = _both_ways(db, SQL)
     assert fired4 and not any(r.endswith("_mxu") for r in fired4), fired4
     assert routed4 == routed
+
+
+def test_route_decimal_sums_exact_at_scale():
+    """Round-5 regression: routed sums of k-dp decimal DOUBLE measures run
+    in EXACT scaled-int arithmetic. The old f64 path computed per-group
+    sums as differences of GLOBAL prefix sums, whose accumulated rounding
+    (~ulp(total)*sqrt(nblocks)) broke the TPC-H Q3 oracle at SF1 (got
+    425031.3994 vs 425031.3985). Here the total is ~5e9 across 2^20 rows
+    while each group sums ~5e6 — the routed result must equal the
+    Decimal-exact value to the last bit."""
+    from decimal import Decimal
+
+    rng = np.random.default_rng(55)
+    n, g = 1 << 20, 1 << 10
+    gid = rng.integers(0, g, n)
+    dim = np.arange(g, dtype=np.int64) * 7 + 3
+    fk = dim[gid]
+    price = np.round(rng.uniform(900, 10500, n), 2)
+    disc = np.round(rng.uniform(0, 0.1, n), 2)
+    rev = price * (1 - disc)  # 4dp decimal computed in doubles
+    db = sqlrs_tpu.Database()
+    db.create_memory_table(
+        "f", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT), ("p", LT.DOUBLE),
+                       ("d", LT.DOUBLE)]),
+            {"k": fk.tolist(), "p": price.tolist(), "d": disc.tolist()}))
+    db.create_memory_table(
+        "dm", DeviceBatch.from_pydict(
+            Schema.of([("k", LT.BIGINT)]), {"k": dim.tolist()}))
+    db.last_fused_routes = []
+    lines = db.run_lines(
+        "select dm.k, sum(f.p * (1 - f.d)) from f join dm on f.k = dm.k "
+        "group by dm.k order by dm.k"
+    )
+    assert db.last_fused_routes, "route did not fire"
+    # Decimal-exact oracle: integer cents products
+    acc = {}
+    for k, p, d in zip(fk, price, disc):
+        s = int(round(p * 100)) * (100 - int(round(d * 100)))
+        acc[k] = acc.get(k, 0) + s
+    for line in lines[:64]:
+        kstr, vstr = line.split()
+        exact = float(Decimal(acc[int(kstr)]) / Decimal(10 ** 4))
+        assert float(vstr) == exact, (line, exact)
