@@ -132,6 +132,26 @@ def main() -> None:
         times2.append(time.perf_counter() - t0)
     spread_rows_per_sec = n / float(np.median(times2))
 
+    # spread keys under caller-asserted FK-completeness (true here by
+    # construction: fact keys are drawn from the dim set — the referential
+    # -integrity norm for star joins): shared G+1 range boundaries halve
+    # the rank stage (BASELINE.md round-5 spread-key case)
+    def run_fk(fk_, fv_, dk_):
+        s, c = fn(fk_, fv_, dk_, key_max=skm, val_max=val_max,
+                  dim_min=smin, dim_max=smax, fk_complete=True)
+        float(s[0])
+        return s, c
+
+    s_fk, c_fk = run_fk(sk, fact_vals, sdk)
+    assert np.array_equal(np.asarray(s_fk), exp_sums), "fk spread mismatch"
+    assert np.array_equal(np.asarray(c_fk), exp_counts)
+    times3 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_fk(sk, fact_vals, sdk)
+        times3.append(time.perf_counter() - t0)
+    spread_fk_rows_per_sec = n / float(np.median(times3))
+
     roofline_rows = _chip_bw() / _BYTES_PER_ROW
     print(
         json.dumps(
@@ -150,6 +170,9 @@ def main() -> None:
                         rows_per_sec / roofline_rows, 5
                     ),
                     "spread_int64_key_rows_per_sec": round(spread_rows_per_sec),
+                    "spread_fk_complete_rows_per_sec": round(
+                        spread_fk_rows_per_sec
+                    ),
                     "device": jax.devices()[0].device_kind,
                     # auto-selected per metadata: dense dim + <2^24 values ->
                     # MXU one-hot matmul segment-sum (ops/mxu_agg.py);
