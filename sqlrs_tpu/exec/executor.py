@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 import jax
 
-from sqlrs_tpu.binder.expression import BoundAggregate
+from sqlrs_tpu.binder.expression import BoundAggregate, BoundReference
 from sqlrs_tpu.data import Column, DeviceBatch, Schema, SchemaField
 from sqlrs_tpu.data.strings import NULL_CODE
 from sqlrs_tpu.errors import ExecutorError
@@ -392,18 +392,72 @@ class Executor:
         """Semi/anti join (decorrelated EXISTS / IN-subquery): emit LEFT rows
         that have (semi) / lack (anti) a surviving match, preserving left
         order. null_aware anti = NOT IN semantics: any NULL inner value ⇒
-        empty result; NULL probe values never pass (SQL three-valued logic)."""
-        left = self.execute(op.children[0])
+        empty result; NULL probe values never pass (SQL three-valued logic).
+
+        A Filter on the LEFT child — even under the pure-reference
+        Projection that column pruning interposes — folds as an alive
+        mask: its rows drop in the SAME compaction as the semi/anti keep,
+        instead of paying a full materializing compaction first (Q21's
+        anti probe side spent 2.6 s on that at SF1). Folding is restricted
+        to residual-free / single-<>-residual marks (the count-based
+        paths), whose semantics ignore dead-row counts; null-aware NOT IN
+        keeps the plain path."""
+        left = None
+        left_alive = None
+        remap = None
+        if not op.null_aware and (
+            op.filter is None or self._ne_residual(op) is not None
+        ):
+            node = op.children[0]
+            if (
+                isinstance(node, P.PhysicalProjection)
+                and len(node.children) == 1
+                and all(isinstance(e, BoundReference) for e in node.exprs)
+                and isinstance(node.children[0], P.PhysicalFilter)
+            ):
+                remap = [e.index for e in node.exprs]
+                node = node.children[0]
+            if isinstance(node, P.PhysicalFilter):
+                src = self.execute(node.children[0])
+                if src.num_rows > 0:
+                    (keep,) = execute_exprs_fused([node.predicate], src)
+                    left = src
+                    left_alive = (keep.data, keep.valid)
+                else:
+                    remap = None
+        if left is None:
+            remap = None
+            left = self.execute(op.children[0])
         right = self.execute(op.children[1])
         out_schema = _schema(op)
-        if left.num_rows == 0:
-            return DeviceBatch(out_schema, left.columns, 0)
+        nl = left.num_rows
+
+        def _project(cols):
+            return [cols[i] for i in remap] if remap is not None else cols
+
+        def _emit_all():
+            """Every LIVE left row survives (anti over empty right, etc.)."""
+            if left_alive is None:
+                return DeviceBatch(out_schema, _project(left.columns), nl)
+            keep = jnp.logical_and(left_alive[0], left_alive[1])
+            out = left.compact(
+                Column(LogicalType.BOOLEAN, keep, jnp.ones(nl, jnp.bool_)),
+                int(jnp.sum(keep)),
+            )
+            return DeviceBatch(out_schema, _project(out.columns), out.num_rows)
+
+        def _emit_none():
+            z = left.slice(0, 0)
+            return DeviceBatch(out_schema, _project(z.columns), 0)
+
+        if nl == 0:
+            return _emit_none()
         if right.num_rows == 0:
             # x NOT IN (empty) / NOT EXISTS(empty) keeps every left row —
             # even NULL probe values (SQL: NOT IN over an empty set is true)
             if op.join_type == "anti":
-                return DeviceBatch(out_schema, left.columns, left.num_rows)
-            return left.slice(0, 0)
+                return _emit_all()
+            return _emit_none()
         if not op.on:
             # uncorrelated EXISTS / NOT EXISTS: no equi keys — the inner side
             # is non-empty (the empty case returned above), so EXISTS keeps
@@ -414,9 +468,24 @@ class Executor:
                     "one equi condition"
                 )
             if op.join_type == "semi":
-                return DeviceBatch(out_schema, left.columns, left.num_rows)
-            return left.slice(0, 0)
-        left_keys = execute_exprs_fused([l for l, _ in op.on], left)
+                return _emit_all()
+            return _emit_none()
+
+        def _lref(e):
+            if remap is None:
+                return e
+            import dataclasses
+
+            from sqlrs_tpu.binder.expression import rewrite_expr
+
+            return rewrite_expr(
+                e,
+                lambda x: dataclasses.replace(x, index=remap[x.index])
+                if isinstance(x, BoundReference)
+                else None,
+            )
+
+        left_keys = execute_exprs_fused([_lref(l) for l, _ in op.on], left)
         right_keys = execute_exprs_fused([r for _, r in op.on], right)
         correlated = len(op.on) > 1 or op.filter is not None
         if (
@@ -428,9 +497,10 @@ class Executor:
             # proven absent ⇒ empty result (the reference has no NOT IN;
             # semantics per SQL spec / DuckDB behavior)
             if bool(jnp.any(jnp.logical_not(right_keys[0].valid))):
-                return left.slice(0, 0)
-        nl = left.num_rows
-        matched = self._mark_matches(op, left, right, left_keys, right_keys)
+                return _emit_none()
+        matched = self._mark_matches(
+            op, left, right, left_keys, right_keys, remap=remap
+        )
         if op.null_aware and op.join_type == "anti" and correlated:
             # three-valued NOT IN per correlated group: x NOT IN S(l) is
             # UNKNOWN (row dropped) iff S(l) is non-empty AND (x IS NULL
@@ -451,12 +521,38 @@ class Executor:
                 left_keys[0].valid,
                 anti=op.join_type == "anti",
                 null_guard=bool(op.null_aware and op.join_type == "anti"),
+                alive=left_alive,
             )
         keep_col = Column(LogicalType.BOOLEAN, keep_mask, jnp.ones(nl, jnp.bool_))
         out = left.compact(keep_col, int(n_keep))
-        return DeviceBatch(out_schema, out.columns, out.num_rows)
+        return DeviceBatch(out_schema, _project(out.columns), out.num_rows)
 
-    def _mark_matches(self, op, left, right, left_keys, right_keys):
+    @staticmethod
+    def _ne_residual(op):
+        """(left_col, right_col) when the residual is a single left-column
+        <> right-column comparison (the TPC-H Q21 shape), else None —
+        static plan inspection, shared by the count-based mark join and
+        the left-Filter fold gate."""
+        from sqlrs_tpu.binder.expression import BoundComparison, BoundReference
+
+        f = op.filter
+        if not (
+            isinstance(f, BoundComparison)
+            and f.op in ("<>", "!=")
+            and isinstance(f.left, BoundReference)
+            and isinstance(f.right, BoundReference)
+        ):
+            return None
+        w = op.left_width
+        ia, ib = f.left.index, f.right.index
+        if ia < w <= ib:
+            return (ia, ib - w)
+        if ib < w <= ia:
+            return (ib, ia - w)
+        return None
+
+    def _mark_matches(self, op, left, right, left_keys, right_keys,
+                      remap=None):
         """bool[left rows]: does a surviving (keys + residual) match exist?
 
         Count-based mark join: per-left-row match counts come straight from
@@ -465,30 +561,19 @@ class Executor:
         that is a single column <> column comparison (the TPC-H Q21 shape,
         'exists another lineitem with a DIFFERENT supplier') folds into
         counts too:  matched = #key-matches-with-valid-b − #(key,b)=(key,a)
-        matches > 0. Everything else falls back to pair expansion."""
-        from sqlrs_tpu.binder.expression import BoundComparison, BoundReference
+        matches > 0. Everything else falls back to pair expansion.
+
+        remap (left-Filter folded through a pruning Projection): maps
+        join-layout left column indexes onto the WIDER unprojected batch."""
         from sqlrs_tpu.ops.join import match_counts
 
         nl = left.num_rows
         if op.filter is None:
             # raw counts: the >0 test folds into the keep-mask program
             return match_counts(right_keys, left_keys)
-        ne = None
-        f = op.filter
-        if (
-            isinstance(f, BoundComparison)
-            and f.op in ("<>", "!=")
-            and isinstance(f.left, BoundReference)
-            and isinstance(f.right, BoundReference)
-        ):
-            w = len(left.columns)
-            ia, ib = f.left.index, f.right.index
-            if ia < w <= ib:
-                ne = (ia, ib - w)
-            elif ib < w <= ia:
-                ne = (ib, ia - w)
+        ne = self._ne_residual(op)
         if ne is not None:
-            a_l = left.columns[ne[0]]
+            a_l = left.columns[remap[ne[0]] if remap is not None else ne[0]]
             b_r = right.columns[ne[1]]
             # a <> b is TRUE only where both sides are valid: restrict the
             # key-match count to valid-b rows, subtract the equal-pair count
@@ -1122,13 +1207,18 @@ def _as_bool_mark(matched):
 
 
 @functools.partial(jax.jit, static_argnames=("anti", "null_guard"))
-def _semi_keep_jit(matched, x_valid, anti: bool, null_guard: bool):
+def _semi_keep_jit(matched, x_valid, anti: bool, null_guard: bool,
+                   alive=None):
     """Semi/anti keep mask + survivor count in ONE program (the eager
-    not/and/sum chain cost three dispatches)."""
+    not/and/sum chain cost three dispatches). `alive` is a fused-Filter
+    (keep_data, keep_valid) pair from the LEFT child: dead rows drop here,
+    in the same compaction as the semi/anti keep itself."""
     m = _as_bool_mark(matched)
     keep = jnp.logical_not(m) if anti else m
     if null_guard:
         keep = keep & x_valid
+    if alive is not None:
+        keep = keep & jnp.logical_and(alive[0], alive[1])
     return keep, jnp.sum(keep)
 
 

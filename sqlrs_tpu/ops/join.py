@@ -97,10 +97,13 @@ def _pairs_phase_a(l_ops, r_ops, num_keys: int, l_alive=None, r_alive=None):
     counts_sorted = cum_left - cl0
     is_rv = jnp.logical_not(is_left) & allvalid
     packed = jnp.where(is_rv, (cl0 << 31) | counts_sorted, 0)
-    probe_pos = jnp.where(is_rv, pos - nl, nr)
-    packed_by_probe = (
-        jnp.zeros((nr + 1,), jnp.int64).at[probe_pos].set(packed)[:nr]
-    )
+    # per-element scatters run at 12-40M elem/s on v5e while a 2-operand
+    # sort streams at ~240M: emit the packed ranges in probe order by
+    # sorting on the probe position (build rows push to the tail; every
+    # probe row appears exactly once, invalid ones carrying packed=0)
+    probe_pos = jnp.where(is_left, jnp.int64(nr), pos - nl)
+    _, pbp = lax.sort((probe_pos, packed), num_keys=1)
+    packed_by_probe = pbp[:nr]
     starts = packed_by_probe >> 31
     counts = packed_by_probe & ((1 << 31) - 1)
     # build-side order: valid build rows first, already in (key, insertion)
