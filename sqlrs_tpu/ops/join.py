@@ -166,6 +166,68 @@ def expand_gather_pairs(pr, left_cols, right_cols):
     )
 
 
+@jax.jit
+def _pack2_stats(lk1, lv1, lk2, lv2, rk1, rv1, rk2, rv2):
+    """min/max of each key column over VALID rows of BOTH sides — drives
+    the 2-key -> one-operand packing below (one program + one fetch)."""
+    big = jnp.iinfo(jnp.int64).max
+
+    def mm(lk, lv, rk, rv):
+        k = jnp.concatenate([lk.astype(jnp.int64), rk.astype(jnp.int64)])
+        v = jnp.concatenate([lv, rv])
+        return (
+            jnp.min(jnp.where(v, k, big)),
+            jnp.max(jnp.where(v, k, -big)),
+        )
+
+    a, b = mm(lk1, lv1, rk1, rv1)
+    c, d = mm(lk2, lv2, rk2, rv2)
+    return jnp.stack([a, b, c, d])
+
+
+@partial(jax.jit, static_argnames=("b2",))
+def _pack2_apply(v1, k1, v2, k2, min1, min2, b2: int):
+    """(valid, packed) for one side: both keys rebased and packed into one
+    int64 — the 2-key comparator becomes a 1-key one."""
+    v = jnp.logical_and(v1, v2)
+    p = ((k1.astype(jnp.int64) - min1) << b2) | (
+        k2.astype(jnp.int64) - min2
+    )
+    return v, jnp.where(v, p, jnp.int64(0))
+
+
+_PACK2_MIN_ROWS = 1 << 21
+
+
+def _try_pack2(l_ops, r_ops):
+    """2-key mark joins: fold both key columns into ONE int64 sort operand
+    when the ranges fit (one stats program + one small fetch + one pack
+    program per side). Multi-key comparators dominate XLA TPU sort cost
+    (measured ~6x compile and a large runtime factor for 5 keys vs 1 —
+    CLAUDE.md); Q21's (orderkey, suppkey) equal-pair count is the shape
+    this serves. Returns (l_ops2, r_ops2) or None."""
+    for o in (l_ops[1], l_ops[3], r_ops[1], r_ops[3]):
+        if jnp.issubdtype(o.dtype, jnp.floating):
+            return None
+    m = np.asarray(_pack2_stats(
+        l_ops[1], l_ops[0], l_ops[3], l_ops[2],
+        r_ops[1], r_ops[0], r_ops[3], r_ops[2],
+    ))
+    if m[0] > m[1] or m[2] > m[3]:
+        return None  # a side with no valid rows: leave unpacked
+    span1 = int(m[1]) - int(m[0]) + 1
+    span2 = int(m[3]) - int(m[2]) + 1
+    b2 = max(span2.bit_length(), 1)
+    if span1.bit_length() + b2 > 62:
+        return None
+    min1, min2 = jnp.int64(int(m[0])), jnp.int64(int(m[2]))
+    lv, lp = _pack2_apply(l_ops[0], l_ops[1], l_ops[2], l_ops[3],
+                          min1, min2, b2)
+    rv, rp = _pack2_apply(r_ops[0], r_ops[1], r_ops[2], r_ops[3],
+                          min1, min2, b2)
+    return [lv, lp], [rv, rp]
+
+
 def match_counts(build_keys: list[Column], probe_keys: list[Column],
                  build_alive=None):
     """Per-probe-row count of matching build rows — the mark-join primitive
@@ -175,7 +237,11 @@ def match_counts(build_keys: list[Column], probe_keys: list[Column],
 
     Replaces pair expansion + scatter for semi/anti joins (reference
     hash_join.rs:207-250 emits pairs row-at-a-time; a 6M-row TPC-H Q21
-    self-mark-join would expand ~40M pairs just to test emptiness)."""
+    self-mark-join would expand ~40M pairs just to test emptiness).
+
+    Two-key marks at scale pack both keys into one operand (_try_pack2):
+    packed equality == pairwise equality for in-range keys, and NULLs
+    (either column) stay non-matching via the ANDed validity."""
     nl = len(build_keys[0])
     nr = len(probe_keys[0])
     if nl == 0 or nr == 0:
@@ -187,6 +253,10 @@ def match_counts(build_keys: list[Column], probe_keys: list[Column],
         rk, rv = orderable_key(r)
         l_ops += [lv, lk]
         r_ops += [rv, rk.astype(lk.dtype)]
+    if len(build_keys) == 2 and nl + nr >= _PACK2_MIN_ROWS:
+        packed = _try_pack2(l_ops, r_ops)
+        if packed is not None:
+            l_ops, r_ops = packed
     _, counts, _, _ = _pairs_phase_a(
         tuple(l_ops), tuple(r_ops), len(l_ops), build_alive, None
     )

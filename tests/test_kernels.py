@@ -255,3 +255,48 @@ def test_mxu_groupby_dense_matches_numpy():
         s2, c2 = mxu_groupby_dense_xla(keys, vals, g, bits)
         assert np.array_equal(np.asarray(s2), exp_s), bits
         assert np.array_equal(np.asarray(c2), exp_c), bits
+
+
+def test_match_counts_pack2_differential(monkeypatch):
+    """2-key mark-join counts with the packed-operand path forced on must
+    be bit-identical to the unpacked path and a numpy brute force,
+    including NULLs in either key column and out-of-overlap keys."""
+    import numpy as np
+
+    import sqlrs_tpu.ops.join as J
+    from sqlrs_tpu.data import Column
+    from sqlrs_tpu.types import LogicalType as LT
+
+    rng = np.random.default_rng(23)
+    nb, np_ = 800, 1100
+    bk1 = rng.integers(-50, 50, nb)
+    bk2 = rng.integers(1000, 1030, nb)
+    pk1 = rng.integers(-60, 60, np_)
+    pk2 = rng.integers(995, 1035, np_)
+    bv1 = rng.random(nb) > 0.1
+    bv2 = rng.random(nb) > 0.1
+    pv1 = rng.random(np_) > 0.1
+    pv2 = rng.random(np_) > 0.1
+
+    def cols(k1, v1, k2, v2):
+        return [
+            Column(LT.BIGINT, jnp.asarray(k1), jnp.asarray(v1)),
+            Column(LT.BIGINT, jnp.asarray(k2), jnp.asarray(v2)),
+        ]
+
+    build = cols(bk1, bv1, bk2, bv2)
+    probe = cols(pk1, pv1, pk2, pv2)
+    monkeypatch.setattr(J, "_PACK2_MIN_ROWS", 1 << 60)
+    plain = np.asarray(J.match_counts(build, probe))
+    monkeypatch.setattr(J, "_PACK2_MIN_ROWS", 0)
+    packed = np.asarray(J.match_counts(build, probe))
+    assert np.array_equal(plain, packed)
+    # brute force
+    ok_b = bv1 & bv2
+    exp = np.zeros(np_, dtype=np.int64)
+    for i in range(np_):
+        if pv1[i] and pv2[i]:
+            exp[i] = int(
+                np.sum(ok_b & (bk1 == pk1[i]) & (bk2 == pk2[i]))
+            )
+    assert np.array_equal(packed, exp)
