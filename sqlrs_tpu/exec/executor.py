@@ -402,33 +402,41 @@ class Executor:
         to residual-free / single-<>-residual marks (the count-based
         paths), whose semantics ignore dead-row counts; null-aware NOT IN
         keeps the plain path."""
-        left = None
-        left_alive = None
-        remap = None
-        if not op.null_aware and (
-            op.filter is None or self._ne_residual(op) is not None
-        ):
-            node = op.children[0]
+        def _fold_filter_child(child):
+            """(batch, alive_pair, remap) with one Filter level folded,
+            seeing through a pure-reference pruning Projection; (None,
+            None, None) when the shape doesn't apply."""
+            rm = None
+            node = child
             if (
                 isinstance(node, P.PhysicalProjection)
                 and len(node.children) == 1
                 and all(isinstance(e, BoundReference) for e in node.exprs)
                 and isinstance(node.children[0], P.PhysicalFilter)
             ):
-                remap = [e.index for e in node.exprs]
+                rm = [e.index for e in node.exprs]
                 node = node.children[0]
             if isinstance(node, P.PhysicalFilter):
                 src = self.execute(node.children[0])
                 if src.num_rows > 0:
                     (keep,) = execute_exprs_fused([node.predicate], src)
-                    left = src
-                    left_alive = (keep.data, keep.valid)
-                else:
-                    remap = None
+                    return src, (keep.data, keep.valid), rm
+            return None, None, None
+
+        left = right = None
+        left_alive = right_alive = None
+        remap = remap_r = None
+        if not op.null_aware and (
+            op.filter is None or self._ne_residual(op) is not None
+        ):
+            left, left_alive, remap = _fold_filter_child(op.children[0])
+            right, right_alive, remap_r = _fold_filter_child(op.children[1])
         if left is None:
             remap = None
             left = self.execute(op.children[0])
-        right = self.execute(op.children[1])
+        if right is None:
+            remap_r = None
+            right = self.execute(op.children[1])
         out_schema = _schema(op)
         nl = left.num_rows
 
@@ -471,8 +479,8 @@ class Executor:
                 return _emit_all()
             return _emit_none()
 
-        def _lref(e):
-            if remap is None:
+        def _remap_ref(e, rm):
+            if rm is None:
                 return e
             import dataclasses
 
@@ -480,13 +488,17 @@ class Executor:
 
             return rewrite_expr(
                 e,
-                lambda x: dataclasses.replace(x, index=remap[x.index])
+                lambda x: dataclasses.replace(x, index=rm[x.index])
                 if isinstance(x, BoundReference)
                 else None,
             )
 
-        left_keys = execute_exprs_fused([_lref(l) for l, _ in op.on], left)
-        right_keys = execute_exprs_fused([r for _, r in op.on], right)
+        left_keys = execute_exprs_fused(
+            [_remap_ref(l, remap) for l, _ in op.on], left
+        )
+        right_keys = execute_exprs_fused(
+            [_remap_ref(r, remap_r) for _, r in op.on], right
+        )
         correlated = len(op.on) > 1 or op.filter is not None
         if (
             op.null_aware
@@ -499,7 +511,8 @@ class Executor:
             if bool(jnp.any(jnp.logical_not(right_keys[0].valid))):
                 return _emit_none()
         matched = self._mark_matches(
-            op, left, right, left_keys, right_keys, remap=remap
+            op, left, right, left_keys, right_keys, remap=remap,
+            remap_r=remap_r, right_alive=right_alive,
         )
         if op.null_aware and op.join_type == "anti" and correlated:
             # three-valued NOT IN per correlated group: x NOT IN S(l) is
@@ -552,7 +565,7 @@ class Executor:
         return None
 
     def _mark_matches(self, op, left, right, left_keys, right_keys,
-                      remap=None):
+                      remap=None, remap_r=None, right_alive=None):
         """bool[left rows]: does a surviving (keys + residual) match exist?
 
         Count-based mark join: per-left-row match counts come straight from
@@ -570,17 +583,25 @@ class Executor:
         nl = left.num_rows
         if op.filter is None:
             # raw counts: the >0 test folds into the keep-mask program
-            return match_counts(right_keys, left_keys)
+            # (right_alive — a folded build-side Filter — ANDs into every
+            # key's validity inside the one merged-sort program)
+            return match_counts(right_keys, left_keys,
+                                build_alive=right_alive)
         ne = self._ne_residual(op)
         if ne is not None:
             a_l = left.columns[remap[ne[0]] if remap is not None else ne[0]]
-            b_r = right.columns[ne[1]]
+            b_r = right.columns[
+                remap_r[ne[1]] if remap_r is not None else ne[1]
+            ]
             # a <> b is TRUE only where both sides are valid: restrict the
-            # key-match count to valid-b rows, subtract the equal-pair count
-            counts_all = match_counts(right_keys, left_keys,
-                                      build_alive=b_r.valid)
+            # key-match count to valid-b rows (AND any folded build-side
+            # Filter), subtract the equal-pair count
+            ba = b_r.valid
+            if right_alive is not None:
+                ba = _and_alive_jit(ba, right_alive)
+            counts_all = match_counts(right_keys, left_keys, build_alive=ba)
             counts_eq = match_counts(right_keys + [b_r], left_keys + [a_l],
-                                     build_alive=b_r.valid)
+                                     build_alive=ba)
             return _ne_mark_jit(counts_all, counts_eq, a_l.valid)
         # general residual: expand pairs, filter, scatter
         l_idx, r_idx = equi_join_pairs(left_keys, right_keys)
@@ -1220,6 +1241,14 @@ def _semi_keep_jit(matched, x_valid, anti: bool, null_guard: bool,
     if alive is not None:
         keep = keep & jnp.logical_and(alive[0], alive[1])
     return keep, jnp.sum(keep)
+
+
+@jax.jit
+def _and_alive_jit(valid, alive_pair):
+    """validity AND a folded-Filter (keep_data, keep_valid) pair."""
+    return jnp.logical_and(
+        valid, jnp.logical_and(alive_pair[0], alive_pair[1])
+    )
 
 
 @jax.jit
